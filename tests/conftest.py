@@ -1,0 +1,22 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+This is the TPU-world analogue of "multi-node without a cluster" — all
+sharding/collective tests run on a virtual 8-device CPU mesh
+(SURVEY.md §4).  Must set env vars before jax is imported anywhere.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
