@@ -1,0 +1,117 @@
+"""Lift-splat BEV pooling — the load-bearing kernel of the camera student.
+
+Capability parity with the reference's CUDA ``bev_pool``
+(reference: mmdet3d/ops/bev_pool/bev_pool.py:83 + src/bev_pool_cuda.cu:20-85
+and the QuickCumsum fallback bev_pool.py:8-34): frustum point features are
+summed into the BEV grid cell their geometry maps to.
+
+TPU-native design (not a port):
+* static shapes — every frustum point participates; out-of-range points
+  are masked into a trash cell instead of being filtered (the reference
+  drops them with a boolean index, a dynamic shape);
+* sort(point keys) + segmented scan + unique-index scatter replaces the
+  CUDA interval kernel (see ops/segmented.py for why);
+* custom VJP: the backward of a segment-sum is a gather —
+  ``dx[i] = dout[cell[i]]`` — which is a single fast XLA gather rather
+  than re-running the sort (the reference's backward kernel broadcasts
+  grad over each interval, bev_pool_cuda.cu:63-85);
+* channels-last [B, H, W, C] output (TPU layout; the reference emits
+  NCHW [B, C, Dz, H, W]).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .segmented import (segment_reduce_sorted, sort_by_key)
+
+
+def _flat_cell_index(coords: jnp.ndarray, valid: jnp.ndarray,
+                     b: int, h: int, w: int) -> jnp.ndarray:
+    """coords [N, 3] = (batch, y, x) int32 -> flat cell id; invalid -> b*h*w."""
+    flat = (coords[:, 0] * h + coords[:, 1]) * w + coords[:, 2]
+    return jnp.where(valid, flat, b * h * w)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def bev_pool(feats: jnp.ndarray,
+             coords: jnp.ndarray,
+             valid: jnp.ndarray,
+             b: int, h: int, w: int) -> jnp.ndarray:
+    """Scatter-add point features into a BEV grid.
+
+    Args:
+        feats: [N, C] per-frustum-point features (any float dtype).
+        coords: [N, 3] int32 (batch_idx, y, x) grid coordinates.
+        valid: [N] bool; False rows contribute nothing.
+        b, h, w: static grid dims.
+
+    Returns:
+        [b, h, w, C] float32 BEV feature map.
+    """
+    return _bev_pool_fwd_impl(feats, coords, valid, b, h, w)
+
+
+def _bev_pool_fwd_impl(feats, coords, valid, b, h, w):
+    n, c = feats.shape
+    cell = _flat_cell_index(coords, valid, b, h, w)
+    sorted_keys, order, sorted_feats = sort_by_key(cell, feats)
+    out = segment_reduce_sorted(sorted_feats, sorted_keys, b * h * w,
+                                reduce="sum")
+    return out.reshape(b, h, w, c)
+
+
+def _bev_pool_fwd(feats, coords, valid, b, h, w):
+    out = _bev_pool_fwd_impl(feats, coords, valid, b, h, w)
+    return out, (coords, valid)
+
+
+def _bev_pool_bwd(b, h, w, res, g):
+    coords, valid = res
+    cell = _flat_cell_index(coords, valid, b, h, w)
+    g_flat = g.reshape(b * h * w, -1)
+    dx = g_flat[jnp.clip(cell, 0, b * h * w - 1)]
+    dx = jnp.where(valid[:, None], dx, 0.0)
+    return dx, None, None
+
+
+bev_pool.defvjp(_bev_pool_fwd, _bev_pool_bwd)
+
+
+def lift_splat_pool(feats: jnp.ndarray,
+                    geom: jnp.ndarray,
+                    bev_start: Tuple[float, float],
+                    bev_resolution: Tuple[float, float],
+                    bev_shape: Tuple[int, int],
+                    z_bounds: Tuple[float, float] = (-10.0, 10.0)
+                    ) -> jnp.ndarray:
+    """Full splat step: geometry -> cell coords -> bev_pool.
+
+    Args:
+        feats: [B, P, C] lifted features (P = N_cams*D*fH*fW frustum pts).
+        geom: [B, P, 3] ego-frame xyz of each frustum point.
+        bev_start: (x0, y0) of grid cell-0 *lower* corner.
+        bev_resolution: (dx, dy) meters per cell.
+        bev_shape: (H, W) where H indexes y and W indexes x (matching the
+            reference's canvas orientation, view_transformer_mine.py:141+).
+        z_bounds: points outside are dropped.
+
+    Returns [B, H, W, C] float32.
+    """
+    bsz, p, c = feats.shape
+    hh, ww = bev_shape
+    gx = ((geom[..., 0] - bev_start[0]) / bev_resolution[0])
+    gy = ((geom[..., 1] - bev_start[1]) / bev_resolution[1])
+    ix = jnp.floor(gx).astype(jnp.int32)
+    iy = jnp.floor(gy).astype(jnp.int32)
+    valid = ((ix >= 0) & (ix < ww) & (iy >= 0) & (iy < hh) &
+             (geom[..., 2] >= z_bounds[0]) & (geom[..., 2] < z_bounds[1]))
+    batch_idx = jnp.broadcast_to(
+        jnp.arange(bsz, dtype=jnp.int32)[:, None], (bsz, p))
+    coords = jnp.stack(
+        [batch_idx.reshape(-1), iy.reshape(-1), ix.reshape(-1)], axis=-1)
+    return bev_pool(feats.reshape(bsz * p, c), coords, valid.reshape(-1),
+                    bsz, hh, ww)

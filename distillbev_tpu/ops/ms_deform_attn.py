@@ -1,0 +1,101 @@
+"""Multi-scale deformable attention sampling core.
+
+Capability parity with the mmcv CUDA extension the reference loads
+(reference: mmdet3d/models/transformer_modules/
+multi_scale_deformable_attn_function.py:1-162 — `_ext.ms_deform_attn_forward`
+/ `backward`, used by BEVFormer's spatial cross-attention, temporal
+self-attention and the DETR decoders).
+
+TPU-native design: the CUDA kernel is a per-thread gather + bilinear
+interpolation + weighted accumulation with a hand-written backward.  Here
+the same math is expressed as 4 batched gathers (`take_along_axis` on the
+flattened spatial axis) + VPU-fused lerp + an einsum contraction over
+(levels x points), all statically shaped per level — XLA differentiates it
+exactly (bilinear sampling is piecewise-linear, so autodiff reproduces the
+CUDA backward), fuses the lerp chain, and maps the final contraction onto
+the MXU.  Out-of-range samples contribute zero, matching the align_corners
+=False zero-padding border semantics of the reference kernel.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_gather(value: jnp.ndarray,
+                     loc_xy: jnp.ndarray,
+                     h: int, w: int) -> jnp.ndarray:
+    """Bilinear sample with zero padding outside.
+
+    Args:
+        value: [B, H*W, M, C] one level's features (M = heads).
+        loc_xy: [B, Q, M, P, 2] normalized sampling locations in [0, 1]
+            (align_corners=False pixel convention: x_pix = x*W - 0.5).
+        h, w: static spatial dims of this level.
+
+    Returns: [B, Q, M, P, C]
+    """
+    bsz, _, m, c = value.shape
+    x = loc_xy[..., 0] * w - 0.5
+    y = loc_xy[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0
+    ly = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def corner(yi, xi):
+        ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        flat = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        # flat: [B, Q, M, P] -> gather rows of value's spatial axis
+        bq = flat.shape[1] * flat.shape[3]
+        idx = flat.transpose(0, 2, 1, 3).reshape(bsz, m, -1)  # [B,M,Q*P]
+        v = jnp.take_along_axis(
+            value.transpose(0, 2, 1, 3),          # [B, M, H*W, C]
+            idx[..., None], axis=2)               # [B, M, Q*P, C]
+        v = v.reshape(bsz, m, flat.shape[1], flat.shape[3], c)
+        v = v.transpose(0, 2, 1, 3, 4)            # [B, Q, M, P, C]
+        return jnp.where(ok[..., None], v, 0.0)
+
+    w00 = (1 - lx) * (1 - ly)
+    w01 = lx * (1 - ly)
+    w10 = (1 - lx) * ly
+    w11 = lx * ly
+    out = (corner(y0i, x0i) * w00[..., None] +
+           corner(y0i, x0i + 1) * w01[..., None] +
+           corner(y0i + 1, x0i) * w10[..., None] +
+           corner(y0i + 1, x0i + 1) * w11[..., None])
+    return out
+
+
+def ms_deform_attn(value: jnp.ndarray,
+                   spatial_shapes: Sequence[Tuple[int, int]],
+                   sampling_locations: jnp.ndarray,
+                   attention_weights: jnp.ndarray) -> jnp.ndarray:
+    """Multi-scale deformable attention.
+
+    Args:
+        value: [B, sum(H_l*W_l), M, C] multi-level flattened features.
+        spatial_shapes: static ((H_0, W_0), ...) per level.
+        sampling_locations: [B, Q, M, L, P, 2] normalized (x, y) in [0,1].
+        attention_weights: [B, Q, M, L, P] (softmax-normalized by caller).
+
+    Returns: [B, Q, M*C]
+    """
+    bsz, _, m, c = value.shape
+    q = sampling_locations.shape[1]
+    num_levels = len(spatial_shapes)
+    assert sampling_locations.shape[3] == num_levels
+    out = jnp.zeros((bsz, q, m, c), value.dtype)
+    offset = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = jax.lax.dynamic_slice_in_dim(value, offset, h * w, axis=1)
+        sampled = _bilinear_gather(
+            v, sampling_locations[:, :, :, lvl], h, w)  # [B,Q,M,P,C]
+        out = out + jnp.einsum(
+            "bqmpc,bqmp->bqmc", sampled, attention_weights[:, :, :, lvl])
+        offset += h * w
+    return out.reshape(bsz, q, m * c)

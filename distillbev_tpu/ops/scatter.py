@@ -1,0 +1,110 @@
+"""Dynamic scatter: per-point -> per-voxel feature reduction (mean/max/sum).
+
+Capability parity with the reference's ``DynamicScatter`` CUDA op
+(reference: mmdet3d/ops/voxel/scatter_points.py:9-76 wrapping
+src/scatter_points_cuda.cu — atomic scatter + stored argmax for backward).
+
+TPU-native: sort-by-voxel-key + segmented scan (ops/segmented.py), with a
+custom VJP.  Backward of sum/mean is a gather; backward of max routes the
+gradient to the elements equal to the segment max (ties all receive the
+gradient — the CUDA argmax picks one winner arbitrarily; either choice is
+a valid subgradient).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .segmented import segment_reduce_sorted, sort_by_key, segment_starts, \
+    segment_ids_from_starts
+from .voxelize import compute_voxel_coords
+
+
+class ScatterOutput(NamedTuple):
+    voxel_feats: jnp.ndarray    # [max_voxels, C]
+    voxel_coords: jnp.ndarray   # [max_voxels, 3] (z, y, x), -1 padded
+    point2voxel: jnp.ndarray    # [N] voxel index per point (max_voxels = drop)
+    num_voxels: jnp.ndarray     # [] int32
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _scatter_reduce(feats: jnp.ndarray, point2voxel: jnp.ndarray,
+                    max_voxels: int, mode: str) -> jnp.ndarray:
+    """[N, C] + [N] -> [max_voxels, C] (mode in sum|mean|max)."""
+    return _scatter_reduce_impl(feats, point2voxel, max_voxels, mode)
+
+
+def _scatter_reduce_impl(feats, point2voxel, max_voxels, mode):
+    valid = point2voxel < max_voxels
+    sorted_keys, order, sorted_feats, sorted_valid = sort_by_key(
+        point2voxel, feats, valid)
+    return segment_reduce_sorted(sorted_feats, sorted_keys, max_voxels,
+                                 reduce=mode, valid=sorted_valid)
+
+
+def _scatter_fwd(feats, point2voxel, max_voxels, mode):
+    out = _scatter_reduce_impl(feats, point2voxel, max_voxels, mode)
+    return out, (feats, point2voxel, out)
+
+
+def _scatter_bwd(max_voxels, mode, res, g):
+    feats, point2voxel, out = res
+    valid = point2voxel < max_voxels
+    idx = jnp.clip(point2voxel, 0, max_voxels - 1)
+    g_pt = g[idx]
+    if mode == "mean":
+        ones = valid.astype(jnp.float32)
+        counts = jnp.zeros((max_voxels,), jnp.float32).at[
+            jnp.where(valid, point2voxel, 0)].add(
+                ones, mode="drop")
+        # note: invalid rows all hit index 0 with weight 0 — harmless
+        g_pt = g_pt / jnp.maximum(counts[idx], 1.0)[:, None]
+    elif mode == "max":
+        winners = (feats == out[idx]).astype(g_pt.dtype)
+        g_pt = g_pt * winners
+    dx = jnp.where(valid[:, None], g_pt, 0.0)
+    return (dx.astype(feats.dtype), None)
+
+
+_scatter_reduce.defvjp(_scatter_fwd, _scatter_bwd)
+
+
+def scatter_reduce(feats: jnp.ndarray, point2voxel: jnp.ndarray,
+                   max_voxels: int, mode: str = "mean") -> jnp.ndarray:
+    """Differentiable per-voxel reduction of point features."""
+    return _scatter_reduce(feats, point2voxel, max_voxels, mode)
+
+
+def dynamic_scatter(feats: jnp.ndarray,
+                    points: jnp.ndarray,
+                    valid: jnp.ndarray,
+                    voxel_size: Tuple[float, ...],
+                    point_cloud_range: Tuple[float, ...],
+                    max_voxels: int,
+                    mode: str = "mean") -> ScatterOutput:
+    """Full DynamicScatter: coords from raw points + dedup + reduction.
+
+    Args:
+        feats: [N, C] per-point features to reduce (differentiable).
+        points: [N, 3+] raw points for coordinate computation.
+        valid: [N] padding mask.
+        max_voxels: static voxel budget (e.g. grid occupancy bound).
+    """
+    from .voxelize import unique_voxels  # local import to avoid cycle
+    import numpy as np
+
+    coords, in_range = compute_voxel_coords(points, voxel_size,
+                                            point_cloud_range)
+    ok = in_range & valid
+    vs = np.asarray(voxel_size)
+    lo = np.asarray(point_cloud_range[:3])
+    hi = np.asarray(point_cloud_range[3:])
+    grid_xyz = np.floor((hi - lo) / vs + 0.5).astype(np.int32)
+    grid_zyx = jnp.asarray(grid_xyz[::-1].copy())
+    point2voxel, voxel_coords, num_voxels = unique_voxels(
+        coords, ok, grid_zyx, max_voxels)
+    voxel_feats = scatter_reduce(feats, point2voxel, max_voxels, mode)
+    return ScatterOutput(voxel_feats, voxel_coords, point2voxel, num_voxels)

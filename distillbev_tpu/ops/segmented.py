@@ -1,0 +1,163 @@
+"""Sorted-segment reductions — the shared engine under the point-cloud ops.
+
+The reference implements scatter-style reductions three separate times in
+CUDA (bev_pool interval sums: ops/bev_pool/src/bev_pool_cuda.cu; dynamic
+scatter max/mean: ops/voxel/src/scatter_points_cuda.cu; spconv
+gather-scatter: ops/spconv/src/reordering*.cu).  CUDA's tool for all of
+them is the atomic/warp scatter; the TPU has no atomics, and XLA scatter
+with colliding indices serializes.  The TPU-native formulation used here:
+
+    sort by segment key  ->  segmented scan  ->  unique-index scatter
+
+A segmented scan composes per-element (value, start_flag) pairs with an
+associative operator, so XLA lowers it to a log-depth parallel scan on the
+VPU; the final scatter has *unique* indices (one row per segment), which
+XLA lowers to a fast dense scatter.  Everything is statically shaped:
+padding rows carry a sentinel key that lands in a trash segment.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def sort_by_key(keys: jnp.ndarray, *arrays) -> Tuple[jnp.ndarray, ...]:
+    """Stable-sort ``keys`` ascending and reorder ``arrays`` alongside.
+
+    Only the (key, index) pair goes through the sort network; payload
+    arrays are gathered afterwards — cheaper than sorting wide rows.
+    """
+    n = keys.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sorted_keys, order = jax.lax.sort_key_val(keys, idx, is_stable=True)
+    return (sorted_keys, order) + tuple(a[order] for a in arrays)
+
+
+def segment_starts(sorted_keys: jnp.ndarray) -> jnp.ndarray:
+    """Boolean start-of-segment flags for an ascending key array."""
+    prev = jnp.concatenate(
+        [sorted_keys[:1] - 1, sorted_keys[:-1]])
+    return sorted_keys != prev
+
+
+def _seg_combine_sum(a, b):
+    va, fa = a
+    vb, fb = b
+    return jnp.where(fb, vb, va + vb), fa | fb
+
+
+def _seg_combine_max(a, b):
+    va, fa = a
+    vb, fb = b
+    return jnp.where(fb, vb, jnp.maximum(va, vb)), fa | fb
+
+
+def _segmented_scan(values: jnp.ndarray, starts: jnp.ndarray, combine):
+    """Inclusive segmented scan along axis 0.  values [N, ...], starts [N]."""
+    flags = starts
+    if values.ndim > 1:
+        flags = starts.reshape((-1,) + (1,) * (values.ndim - 1))
+        flags = jnp.broadcast_to(flags, values.shape)
+    out, _ = jax.lax.associative_scan(combine, (values, flags))
+    return out
+
+
+def segmented_cumsum(values: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
+    return _segmented_scan(values, starts, _seg_combine_sum)
+
+
+def segmented_cummax(values: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
+    return _segmented_scan(values, starts, _seg_combine_max)
+
+
+def segment_ids_from_starts(starts: jnp.ndarray) -> jnp.ndarray:
+    """Compacted 0-based segment index per sorted element."""
+    return jnp.cumsum(starts.astype(jnp.int32)) - 1
+
+
+def position_in_segment(starts: jnp.ndarray) -> jnp.ndarray:
+    """0-based position of each element within its segment."""
+    n = starts.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    start_pos = jnp.where(starts, idx, 0)
+    seg_start = segmented_cummax(start_pos, starts)
+    return idx - seg_start
+
+
+@partial(jax.jit, static_argnames=("num_segments", "reduce"))
+def segment_reduce_sorted(values: jnp.ndarray,
+                          sorted_keys: jnp.ndarray,
+                          num_segments: int,
+                          reduce: str = "sum",
+                          valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Reduce rows sharing a key into ``[num_segments, ...]``.
+
+    Args:
+        values: [N, ...] rows, already ordered by ``sorted_keys``.
+        sorted_keys: [N] ascending int keys in [0, num_segments) for valid
+            rows; invalid rows may carry any key when masked by ``valid``.
+        num_segments: static output rows.
+        reduce: 'sum' | 'max' | 'mean'.
+        valid: optional [N] mask; invalid rows contribute nothing.
+
+    Returns [num_segments, ...]; empty segments are 0 (sum/mean) or 0 (max,
+    by convention — matches a ReLU-style canvas where empty = 0).
+    """
+    if valid is not None:
+        sorted_keys = jnp.where(valid, sorted_keys, num_segments)
+    starts = segment_starts(sorted_keys)
+    if reduce in ("sum", "mean"):
+        vals = values.astype(jnp.float32)
+        if valid is not None:
+            mask = valid.reshape((-1,) + (1,) * (values.ndim - 1))
+            vals = jnp.where(mask, vals, 0.0)
+        scanned = segmented_cumsum(vals, starts)
+    elif reduce == "max":
+        neg = jnp.full_like(values, -jnp.inf, dtype=jnp.float32)
+        vals = values.astype(jnp.float32)
+        if valid is not None:
+            mask = valid.reshape((-1,) + (1,) * (values.ndim - 1))
+            vals = jnp.where(mask, vals, neg)
+        scanned = segmented_cummax(vals, starts)
+    else:
+        raise ValueError(f"unknown reduce {reduce!r}")
+
+    # last row of each segment holds the full reduction
+    nxt = jnp.concatenate([sorted_keys[1:], sorted_keys[-1:] + 1])
+    ends = sorted_keys != nxt
+    out_shape = (num_segments + 1,) + values.shape[1:]
+    out_keys = jnp.where(ends, sorted_keys, num_segments)
+    out_keys = jnp.clip(out_keys, 0, num_segments)
+    out = jnp.zeros(out_shape, jnp.float32).at[out_keys].set(
+        scanned, mode="drop", unique_indices=False)
+    # rows with out_keys == num_segments all collide on the trash row; XLA
+    # 'set' semantics with duplicates are order-dependent but the trash row
+    # is discarded, and real segment rows are unique.
+    out = out[:num_segments]
+    if reduce == "mean":
+        ones = jnp.ones((values.shape[0],), jnp.float32)
+        if valid is not None:
+            ones = jnp.where(valid, ones, 0.0)
+        counts = segmented_cumsum(ones, starts)
+        cnt = jnp.zeros((num_segments + 1,), jnp.float32).at[out_keys].set(
+            counts, mode="drop")[:num_segments]
+        out = out / jnp.maximum(cnt, 1.0).reshape(
+            (-1,) + (1,) * (out.ndim - 1))
+    if reduce == "max":
+        out = jnp.where(jnp.isfinite(out), out, 0.0)
+    return out
+
+
+def segment_sum_by_key(values: jnp.ndarray,
+                       keys: jnp.ndarray,
+                       num_segments: int,
+                       valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Unsorted convenience wrapper: sort + segment_reduce_sorted(sum)."""
+    if valid is not None:
+        keys = jnp.where(valid, keys, num_segments)
+    sorted_keys, _, sorted_vals = sort_by_key(keys, values)
+    return segment_reduce_sorted(sorted_vals, sorted_keys, num_segments,
+                                 reduce="sum")

@@ -1,0 +1,93 @@
+"""Parity tests for multi-scale deformable attention vs numpy reference."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from distillbev_tpu.ops.ms_deform_attn import ms_deform_attn
+
+
+def numpy_ms_deform_attn(value, shapes, locs, weights):
+    """Scalar-loop reference implementation."""
+    B, _, M, C = value.shape
+    Q = locs.shape[1]
+    L = len(shapes)
+    P = locs.shape[4]
+    out = np.zeros((B, Q, M, C), np.float64)
+    level_start = np.cumsum([0] + [h * w for h, w in shapes])
+    for b in range(B):
+        for qi in range(Q):
+            for mi in range(M):
+                for li, (H, W) in enumerate(shapes):
+                    vl = value[b, level_start[li]:level_start[li + 1], mi]
+                    vl = vl.reshape(H, W, C)
+                    for pi in range(P):
+                        xn, yn = locs[b, qi, mi, li, pi]
+                        x = xn * W - 0.5
+                        y = yn * H - 0.5
+                        x0, y0 = int(np.floor(x)), int(np.floor(y))
+                        lx, ly = x - x0, y - y0
+                        acc = np.zeros(C)
+                        for dy, wy in ((0, 1 - ly), (1, ly)):
+                            for dx, wx in ((0, 1 - lx), (1, lx)):
+                                yy, xx = y0 + dy, x0 + dx
+                                if 0 <= yy < H and 0 <= xx < W:
+                                    acc += wy * wx * vl[yy, xx]
+                        out[b, qi, mi] += acc * weights[b, qi, mi, li, pi]
+    return out.reshape(B, Q, M * C)
+
+
+class TestMSDeformAttn:
+
+    def test_vs_numpy(self, rng):
+        B, M, C, Q, P = 2, 2, 4, 5, 3
+        shapes = ((4, 6), (2, 3))
+        total = sum(h * w for h, w in shapes)
+        value = rng.randn(B, total, M, C).astype(np.float32)
+        locs = rng.uniform(-0.1, 1.1, (B, Q, M, len(shapes), P, 2)) \
+            .astype(np.float32)
+        weights = rng.rand(B, Q, M, len(shapes), P).astype(np.float32)
+        weights /= weights.sum(axis=(3, 4), keepdims=True)
+        got = np.asarray(ms_deform_attn(
+            jnp.asarray(value), shapes, jnp.asarray(locs),
+            jnp.asarray(weights)))
+        want = numpy_ms_deform_attn(value, shapes, locs, weights)
+        assert np.allclose(got, want, atol=1e-4)
+
+    def test_center_sample_identity(self):
+        # sampling exactly at a pixel center returns that pixel
+        H, W, C = 4, 4, 2
+        value = np.arange(H * W * C, dtype=np.float32).reshape(1, H * W, 1, C)
+        # pixel (1, 2): normalized x = (2+0.5)/W, y = (1+0.5)/H
+        locs = np.array([(2 + 0.5) / W, (1 + 0.5) / H],
+                        np.float32).reshape(1, 1, 1, 1, 1, 2)
+        weights = np.ones((1, 1, 1, 1, 1), np.float32)
+        out = np.asarray(ms_deform_attn(
+            jnp.asarray(value), ((H, W),), jnp.asarray(locs),
+            jnp.asarray(weights)))
+        want = value[0, 1 * W + 2, 0]
+        assert np.allclose(out[0, 0], want)
+
+    def test_outside_samples_zero(self):
+        value = np.ones((1, 16, 1, 3), np.float32)
+        locs = np.full((1, 1, 1, 1, 2, 2), -2.0, np.float32)
+        weights = np.ones((1, 1, 1, 1, 2), np.float32)
+        out = np.asarray(ms_deform_attn(
+            jnp.asarray(value), ((4, 4),), jnp.asarray(locs),
+            jnp.asarray(weights)))
+        assert np.allclose(out, 0)
+
+    def test_differentiable(self, rng):
+        B, M, C, Q, P = 1, 1, 2, 3, 2
+        shapes = ((3, 3),)
+        value = jnp.asarray(rng.randn(B, 9, M, C).astype(np.float32))
+        locs = jnp.asarray(
+            rng.uniform(0.2, 0.8, (B, Q, M, 1, P, 2)).astype(np.float32))
+        weights = jnp.asarray(rng.rand(B, Q, M, 1, P).astype(np.float32))
+
+        def loss(v, l, w):
+            return jnp.sum(ms_deform_attn(v, shapes, l, w) ** 2)
+
+        gv, gl, gw = jax.grad(loss, argnums=(0, 1, 2))(value, locs, weights)
+        assert np.isfinite(np.asarray(gv)).all()
+        assert np.isfinite(np.asarray(gl)).all()
+        assert float(jnp.abs(gl).sum()) > 0  # grads flow into locations
