@@ -67,6 +67,21 @@ def maxwh_radius_func(det_size, min_overlap=None, scale: float = 1.0):
     return np.maximum(height, width) * scale
 
 
+def gaussian_radius_jnp(height, width, min_overlap: float = 0.5):
+    """Device version of gaussian_radius for batched target generation."""
+    b1 = height + width
+    c1 = width * height * (1 - min_overlap) / (1 + min_overlap)
+    r1 = (b1 + jnp.sqrt(jnp.maximum(b1 ** 2 - 4 * c1, 0.0))) / 2
+    b2 = 2 * (height + width)
+    c2 = (1 - min_overlap) * width * height
+    r2 = (b2 + jnp.sqrt(jnp.maximum(b2 ** 2 - 16 * c2, 0.0))) / 8
+    a3 = 4 * min_overlap
+    b3 = -2 * min_overlap * (height + width)
+    c3 = (min_overlap - 1) * width * height
+    r3 = (b3 + jnp.sqrt(jnp.maximum(b3 ** 2 - 4 * a3 * c3, 0.0))) / (2 * a3)
+    return jnp.minimum(jnp.minimum(r1, r2), r3)
+
+
 RADIUS_FUNCS = {
     "gaussian_radius": gaussian_radius,
     "centerpoint_radius_func1": centerpoint_radius_func1,

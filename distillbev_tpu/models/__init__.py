@@ -1,0 +1,12 @@
+from .builder import (MODELS, BACKBONES, NECKS, HEADS, LOSSES, DETECTORS,
+                      VOXEL_ENCODERS, MIDDLE_ENCODERS, TRANSFORMERS,
+                      ATTENTION, build_backbone, build_neck, build_head,
+                      build_loss, build_detector, build_model,
+                      build_voxel_encoder, build_middle_encoder)
+from . import layers, losses
+from .voxel_encoders import pillar_encoder  # noqa: F401 — registration
+from .middle_encoders import pillar_scatter  # noqa: F401
+from .backbones import second  # noqa: F401
+from .necks import second_fpn  # noqa: F401
+from .dense_heads import centerpoint_head  # noqa: F401
+from .detectors import centerpoint  # noqa: F401

@@ -1,0 +1,301 @@
+"""CenterPoint multi-task center-heatmap head.
+
+Capability parity with the reference's ``CenterHead`` + ``SeparateHead``
+(reference: mmdet3d/models/dense_heads/centerpoint_head.py — SeparateHead:18,
+CenterHead:245, get_targets_single:447-611, loss:614-686, get_bboxes:689,
+get_task_detections with Scale-NMS:790-919).
+
+TPU-native design:
+* channels-last [B, H, W, C] maps; predictions are dicts of maps per task;
+* target generation runs fully on device with static ``max_objs`` padded
+  GT arrays: heatmaps via the dense max-gaussian kernel
+  (core/gaussian.py), regression targets scattered at integer centers
+  (unique indices per sample);
+* ``loss`` consumes the padded targets directly — no dynamic shapes;
+* decode + NMS are mask-based with fixed K (core/post_processing.py),
+  including per-class Scale-NMS rescale factors and per-task circle NMS;
+* the reference's ``get_targets`` return protocol (heatmaps, anno_boxes,
+  inds, masks) is preserved because the distillation engine consumes it
+  (bevdet_distill.py FP-as-FG mining needs the task heatmaps).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..builder import HEADS, build_loss
+from ..layers import ConvModule
+from ...core import gaussian
+from ...core.bbox.coders import CODERS, DecodedBoxes
+from ...core.post_processing import circle_nms_mask, rotated_nms_mask
+from ...registry import build_from_cfg
+from ..losses import clip_sigmoid
+
+
+class SeparateHead(nn.Module):
+    """Per-task branch: one small conv stack per output name."""
+    heads: Any                       # dict name -> (out_ch, num_conv)
+    head_conv: int = 64
+    final_kernel: int = 3
+    init_bias: float = -2.19
+    norm_cfg: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        out = {}
+        for name, (out_ch, num_conv) in dict(self.heads).items():
+            y = x
+            for i in range(num_conv - 1):
+                y = ConvModule(self.head_conv, 3, padding=1,
+                               norm_cfg=self.norm_cfg or dict(type="BN"),
+                               name=f"{name}_conv{i}")(y, train=train)
+            bias_init = (nn.initializers.constant(self.init_bias)
+                         if name == "heatmap" else nn.initializers.zeros)
+            y = nn.Conv(out_ch, (self.final_kernel, self.final_kernel),
+                        padding=((self.final_kernel // 2,) * 2,) * 2,
+                        bias_init=bias_init, name=f"{name}_out")(y)
+            out[name] = y
+        return out
+
+
+@HEADS.register_module()
+class CenterHead(nn.Module):
+    in_channels: int = 384
+    tasks: Any = None                # list of dict(num_class, class_names)
+    common_heads: Any = None         # dict reg=(2,2), height=(1,2), ...
+    share_conv_channel: int = 64
+    bbox_coder: Any = None
+    separate_head: Any = None
+    loss_cls: Any = None
+    loss_bbox: Any = None
+    norm_cfg: Any = None
+    norm_bbox: bool = True
+    train_cfg: Any = None
+    test_cfg: Any = None
+    task_specific: bool = False
+    loss_prefix: str = ""
+    init_cfg: Any = None
+
+    @property
+    def num_classes(self) -> List[int]:
+        return [t["num_class"] for t in self.tasks]
+
+    @property
+    def class_names(self) -> List[List[str]]:
+        return [list(t["class_names"]) for t in self.tasks]
+
+    @property
+    def task_class_offsets(self) -> List[int]:
+        offs, acc = [], 0
+        for t in self.tasks:
+            offs.append(acc)
+            acc += t["num_class"]
+        return offs
+
+    def _coder(self):
+        return build_from_cfg(dict(self.bbox_coder), CODERS)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False
+                 ) -> List[Dict[str, jnp.ndarray]]:
+        """x [B, H, W, C_in] -> per-task dicts of channels-last maps."""
+        x = ConvModule(self.share_conv_channel, 3, padding=1,
+                       norm_cfg=self.norm_cfg or dict(type="BN"),
+                       name="shared_conv")(x, train=train)
+        sep = dict(self.separate_head or {})
+        sep.pop("type", None)
+        outs = []
+        for tid, task in enumerate(self.tasks):
+            heads = {k: tuple(v) for k, v in dict(self.common_heads).items()}
+            heads["heatmap"] = (task["num_class"], 2)
+            outs.append(SeparateHead(
+                heads=heads, head_conv=self.share_conv_channel,
+                norm_cfg=self.norm_cfg,
+                name=f"task_{tid}", **sep)(x, train=train))
+        return outs
+
+    # ------------------------------------------------------------------
+    # target generation (device, static shapes)
+    # ------------------------------------------------------------------
+    def get_targets(self, gt_boxes: jnp.ndarray, gt_labels: jnp.ndarray,
+                    gt_mask: jnp.ndarray):
+        """Per-task training targets.
+
+        Args:
+            gt_boxes: [B, M, 9] gravity-centered (x, y, z, dx, dy, dz, yaw,
+                vx, vy) — the reference feeds ``gravity_center`` + dims
+                (get_targets_single:472-477).
+            gt_labels: [B, M] global class ids.
+            gt_mask: [B, M] bool padding mask.
+
+        Returns (heatmaps, anno_boxes, inds, masks) — lists over tasks:
+            heatmaps[t]: [B, K_t, H, W] (class-first to mirror the
+                reference layout consumed by the distiller);
+            anno_boxes[t]: [B, M, 10]; inds[t]: [B, M]; masks[t]: [B, M].
+        """
+        tc = self.train_cfg
+        grid = tc["grid_size"]
+        osf = tc["out_size_factor"]
+        vx, vy = tc["voxel_size"][0], tc["voxel_size"][1]
+        pc_range = tc["point_cloud_range"]
+        overlap = tc["gaussian_overlap"]
+        min_radius = tc["min_radius"]
+        w = grid[0] // osf
+        h = grid[1] // osf
+        b, m = gt_labels.shape
+
+        cx = (gt_boxes[..., 0] - pc_range[0]) / vx / osf
+        cy = (gt_boxes[..., 1] - pc_range[1]) / vy / osf
+        dxf = gt_boxes[..., 3] / vx / osf
+        dyf = gt_boxes[..., 4] / vy / osf
+        radius = gaussian.gaussian_radius_jnp(dyf, dxf, overlap)
+        radius = jnp.maximum(radius, float(min_radius))
+        cxi = jnp.floor(cx).astype(jnp.int32)
+        cyi = jnp.floor(cy).astype(jnp.int32)
+        in_grid = (cxi >= 0) & (cxi < w) & (cyi >= 0) & (cyi < h)
+
+        heatmaps, anno_boxes, inds, masks = [], [], [], []
+        for tid, task in enumerate(self.tasks):
+            off = self.task_class_offsets[tid]
+            k_t = task["num_class"]
+            in_task = (gt_labels >= off) & (gt_labels < off + k_t)
+            ok = gt_mask & in_task & in_grid
+            local_cls = jnp.clip(gt_labels - off, 0, k_t - 1)
+
+            hm = jax.vmap(
+                lambda c, r, l, v: gaussian.gaussian_heatmap_dense(
+                    c, r, l, v, k_t, h, w))(
+                jnp.stack([cx, cy], -1), radius, local_cls, ok)
+            heatmaps.append(hm)
+
+            ind = jnp.where(ok, cyi * w + cxi, 0)
+            dims = gt_boxes[..., 3:6]
+            if self.norm_bbox:
+                dims = jnp.log(jnp.maximum(dims, 1e-6))
+            anno = jnp.concatenate([
+                (cx - cxi.astype(cx.dtype))[..., None],
+                (cy - cyi.astype(cy.dtype))[..., None],
+                gt_boxes[..., 2:3],
+                dims,
+                jnp.sin(gt_boxes[..., 6:7]),
+                jnp.cos(gt_boxes[..., 6:7]),
+                gt_boxes[..., 7:9],
+            ], axis=-1)
+            anno_boxes.append(jnp.where(ok[..., None], anno, 0.0))
+            inds.append(ind)
+            masks.append(ok)
+        return heatmaps, anno_boxes, inds, masks
+
+    # ------------------------------------------------------------------
+    # loss
+    # ------------------------------------------------------------------
+    def loss(self, preds: List[Dict[str, jnp.ndarray]],
+             gt_boxes: jnp.ndarray, gt_labels: jnp.ndarray,
+             gt_mask: jnp.ndarray, return_targets: bool = False):
+        """Focal heatmap loss + weighted L1 on gathered anno boxes."""
+        heatmaps, anno_boxes, inds, masks = self.get_targets(
+            gt_boxes, gt_labels, gt_mask)
+        loss_cls = build_loss(dict(self.loss_cls))
+        loss_bbox = build_loss(dict(self.loss_bbox))
+        code_weights = jnp.asarray(self.train_cfg["code_weights"])
+        losses = {}
+        for tid, pred in enumerate(preds):
+            hm_pred = clip_sigmoid(pred["heatmap"])       # [B, H, W, K]
+            hm_tgt = heatmaps[tid].transpose(0, 2, 3, 1)  # to channels-last
+            num_pos = (hm_tgt == 1.0).sum()
+            losses[f"{self.loss_prefix}task{tid}.loss_heatmap"] = loss_cls(
+                hm_pred, hm_tgt, avg_factor=jnp.maximum(num_pos, 1))
+
+            anno_pred = jnp.concatenate(
+                [pred["reg"], pred["height"], pred["dim"], pred["rot"],
+                 pred["vel"]], axis=-1)                    # [B, H, W, 10]
+            bsz, hh, ww, cc = anno_pred.shape
+            flat = anno_pred.reshape(bsz, hh * ww, cc)
+            gathered = jnp.take_along_axis(
+                flat, inds[tid][..., None], axis=1)        # [B, M, 10]
+            mask = masks[tid][..., None].astype(jnp.float32)
+            weights = mask * code_weights[None, None, :]
+            num = jnp.maximum(masks[tid].sum(), 1).astype(jnp.float32)
+            losses[f"{self.loss_prefix}task{tid}.loss_bbox"] = loss_bbox(
+                gathered, anno_boxes[tid], weights, avg_factor=num + 1e-4)
+        if return_targets:
+            return losses, (heatmaps, anno_boxes, inds, masks)
+        return losses
+
+    # ------------------------------------------------------------------
+    # decode + NMS
+    # ------------------------------------------------------------------
+    def get_bboxes(self, preds: List[Dict[str, jnp.ndarray]]
+                   ) -> DecodedBoxes:
+        """Decode every task, NMS per task, merge with global labels.
+
+        Returns fixed-size padded DecodedBoxes with z as *bottom* center
+        (the reference shifts gravity z to bottom at merge,
+        get_bboxes:777).
+        """
+        coder = self._coder()
+        tcfg = self.test_cfg
+        all_boxes, all_scores, all_labels, all_valid = [], [], [], []
+        for tid, pred in enumerate(preds):
+            heat = jax.nn.sigmoid(pred["heatmap"])
+            dim = jnp.exp(pred["dim"]) if self.norm_bbox else pred["dim"]
+            dec = coder.decode(
+                heat, pred["rot"][..., 0:1], pred["rot"][..., 1:2],
+                pred["height"], dim, pred.get("vel"), reg=pred["reg"],
+                task_id=tid)
+            nms_type = tcfg.get("nms_type", "rotate")
+            if isinstance(nms_type, (list, tuple)):
+                nms_type = nms_type[tid]
+            boxes, scores, labels, valid = dec
+
+            if nms_type == "circle":
+                thr = tcfg["min_radius"][tid]
+                keep = jax.vmap(
+                    lambda c, s, v: circle_nms_mask(c, s, thr, v))(
+                    boxes[..., :2], scores, valid)
+            else:
+                factor = tcfg.get("nms_rescale_factor",
+                                  [1.0] * len(self.tasks))[tid]
+                if isinstance(factor, (list, tuple)):
+                    fac = jnp.asarray(factor)[labels]
+                else:
+                    fac = jnp.full(labels.shape, float(factor))
+                nms_boxes = jnp.concatenate([
+                    boxes[..., 0:2], boxes[..., 3:5] * fac[..., None],
+                    boxes[..., 6:7]], axis=-1)
+                thr = tcfg["nms_thr"]
+                if isinstance(thr, (list, tuple)):
+                    thr = thr[tid]
+                score_ok = valid & (scores >= tcfg["score_threshold"])
+                keep = jax.vmap(
+                    lambda bx, s, v: rotated_nms_mask(
+                        bx, s, thr, v,
+                        pre_max_size=tcfg.get("pre_max_size")))(
+                    nms_boxes, scores, score_ok)
+            valid = valid & keep
+            # global labels; z gravity -> bottom
+            boxes = boxes.at[..., 2].add(-boxes[..., 5] * 0.5)
+            all_boxes.append(boxes)
+            all_scores.append(scores)
+            all_labels.append(labels + self.task_class_offsets[tid])
+            all_valid.append(valid)
+
+        boxes = jnp.concatenate(all_boxes, axis=1)
+        scores = jnp.concatenate(all_scores, axis=1)
+        labels = jnp.concatenate(all_labels, axis=1)
+        valid = jnp.concatenate(all_valid, axis=1)
+        # keep the global top max_per_img by masked score
+        k = min(tcfg.get("max_per_img", 500), scores.shape[1])
+        masked = jnp.where(valid, scores, -jnp.inf)
+        top_scores, idx = jax.lax.top_k(masked, k)
+        take = lambda a: jnp.take_along_axis(
+            a, idx.reshape(idx.shape + (1,) * (a.ndim - 2)), axis=1)
+        return DecodedBoxes(
+            take(boxes), jnp.where(jnp.isfinite(top_scores), top_scores,
+                                   0.0),
+            take(labels.astype(jnp.int32)[..., None])[..., 0],
+            jnp.isfinite(top_scores))

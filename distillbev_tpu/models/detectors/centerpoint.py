@@ -1,0 +1,187 @@
+"""CenterPoint LiDAR detector (pillar + dynamic variants).
+
+Capability parity with the reference detectors
+(reference: mmdet3d/models/detectors/centerpoint.py:40-104 — CenterPoint
+with ``extract_pts_feat(return_canvas, return_backbone_feature)`` and
+``forward_pts_train(get_preds, get_targets)`` used by the distillation
+engine; mvx_two_stage.py:219 hard ``voxelize``;
+dynamic_centerpoint.py:14-99 — DynamicCenterPoint with coords-only
+voxelization + DynamicScatter; MVP = DynamicCenterPoint with
+``DynamicPillarFeatureNet(virtual=True, in_channels=17)``, configs/mvp/).
+
+TPU-native design: a flax module whose ``__call__`` runs the full padded
+static-shape pipeline points -> voxels -> VFE -> canvas -> SECOND ->
+SECONDFPN -> CenterHead; batched voxelization via ``vmap`` of the static
+sort-based voxelizer.  The reference's ``return_canvas`` /
+``return_backbone_feature`` flags become a returned ``FeatureBundle`` so
+the distiller can pick positions without re-running the teacher.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..builder import (DETECTORS, build_backbone, build_head,
+                       build_middle_encoder, build_neck,
+                       build_voxel_encoder)
+from ...ops.voxelize import hard_voxelize, compute_voxel_coords, \
+    unique_voxels
+from ...ops.scatter import scatter_reduce
+
+
+class FeatureBundle(NamedTuple):
+    """Every intermediate the distillation engine can pair on."""
+    canvas: Optional[jnp.ndarray]          # [B, ny, nx, C] scatter canvas
+    backbone_feats: Optional[Tuple[jnp.ndarray, ...]]   # SECOND stages
+    neck_feat: jnp.ndarray                 # SECONDFPN output [B, H, W, C]
+
+
+@DETECTORS.register_module()
+class CenterPoint(nn.Module):
+    """Hard-voxelization (pillar) CenterPoint."""
+    pts_voxel_layer: Any = None
+    pts_voxel_encoder: Any = None
+    pts_middle_encoder: Any = None
+    pts_backbone: Any = None
+    pts_neck: Any = None
+    pts_bbox_head: Any = None
+    train_cfg: Any = None
+    test_cfg: Any = None
+    max_points_per_sample: int = 0   # unused; points arrive padded
+
+    def setup(self):
+        self.voxel_encoder = build_voxel_encoder(
+            dict(self.pts_voxel_encoder))
+        self.middle_encoder = build_middle_encoder(
+            dict(self.pts_middle_encoder))
+        self.backbone = build_backbone(dict(self.pts_backbone))
+        self.neck = build_neck(dict(self.pts_neck))
+        head_cfg = dict(self.pts_bbox_head)
+        head_cfg.setdefault("train_cfg",
+                            (self.train_cfg or {}).get("pts"))
+        head_cfg.setdefault("test_cfg", (self.test_cfg or {}).get("pts"))
+        self.bbox_head = build_head(head_cfg)
+
+    def voxelize(self, points, point_mask):
+        """[B, N, C] padded points -> batched static voxel tensors."""
+        vl = dict(self.pts_voxel_layer)
+        max_voxels = vl["max_voxels"]
+        if isinstance(max_voxels, (tuple, list)):
+            max_voxels = max_voxels[0]
+        vox_fn = lambda p, m: hard_voxelize(
+            p, m, tuple(vl["voxel_size"]),
+            tuple(vl["point_cloud_range"]),
+            vl["max_num_points"], max_voxels)
+        return jax.vmap(vox_fn)(points, point_mask)
+
+    def extract_pts_feat(self, points, point_mask, train: bool = False
+                         ) -> FeatureBundle:
+        vox = self.voxelize(points, point_mask)
+        voxel_mask = jnp.arange(vox.voxels.shape[1])[None, :] < \
+            vox.num_voxels[:, None]
+        vf = self.voxel_encoder(vox.voxels, vox.num_points, vox.coords,
+                                voxel_mask, train=train)
+        canvas = self.middle_encoder(vf, vox.coords, voxel_mask)
+        feats = self.backbone(canvas, train=train)
+        neck = self.neck(feats, train=train)
+        return FeatureBundle(canvas, feats, neck)
+
+    def __call__(self, points, point_mask, train: bool = False):
+        """Forward to head predictions; returns (preds, FeatureBundle)."""
+        bundle = self.extract_pts_feat(points, point_mask, train=train)
+        preds = self.bbox_head(bundle.neck_feat, train=train)
+        return preds, bundle
+
+    def loss(self, preds, gt_boxes, gt_labels, gt_mask,
+             return_targets: bool = False):
+        return self.bbox_head.loss(preds, gt_boxes, gt_labels, gt_mask,
+                                   return_targets=return_targets)
+
+    def get_bboxes(self, preds):
+        return self.bbox_head.get_bboxes(preds)
+
+
+@DETECTORS.register_module()
+class DynamicCenterPoint(nn.Module):
+    """Dynamic-voxelization CenterPoint (coords-only voxelize + dynamic
+    pillar VFE).  MVP teacher == this with virtual=True 17-dim points."""
+    pts_voxel_layer: Any = None
+    pts_voxel_encoder: Any = None
+    pts_middle_encoder: Any = None
+    pts_backbone: Any = None
+    pts_neck: Any = None
+    pts_bbox_head: Any = None
+    train_cfg: Any = None
+    test_cfg: Any = None
+    max_voxels: int = 32000
+
+    def setup(self):
+        self.voxel_encoder = build_voxel_encoder(
+            dict(self.pts_voxel_encoder))
+        self.middle_encoder = build_middle_encoder(
+            dict(self.pts_middle_encoder))
+        self.backbone = build_backbone(dict(self.pts_backbone))
+        self.neck = build_neck(dict(self.pts_neck))
+        head_cfg = dict(self.pts_bbox_head)
+        head_cfg.setdefault("train_cfg",
+                            (self.train_cfg or {}).get("pts"))
+        head_cfg.setdefault("test_cfg", (self.test_cfg or {}).get("pts"))
+        self.bbox_head = build_head(head_cfg)
+
+    def extract_pts_feat(self, points, point_mask, train: bool = False
+                         ) -> FeatureBundle:
+        import numpy as np
+        vl = dict(self.pts_voxel_layer)
+        vs = tuple(vl["voxel_size"])
+        pcr = tuple(vl["point_cloud_range"])
+        grid_xyz = np.floor((np.asarray(pcr[3:]) - np.asarray(pcr[:3]))
+                            / np.asarray(vs) + 0.5).astype(np.int32)
+        grid_zyx = jnp.asarray(grid_xyz[::-1].copy())
+
+        def per_sample(pts, mask):
+            coords, in_range = compute_voxel_coords(pts, vs, pcr)
+            ok = in_range & mask
+            p2v, vcoords, nvox = unique_voxels(coords, ok, grid_zyx,
+                                               self.max_voxels)
+            return p2v, vcoords, nvox
+
+        p2v, vcoords, nvox = jax.vmap(per_sample)(points, point_mask)
+
+        def encode(pts, p2v_i, vc_i):
+            return self.voxel_encoder(pts, p2v_i, vc_i, self.max_voxels,
+                                      train=train)
+        # voxel encoder holds params -> cannot vmap over module call with
+        # shared params via jax.vmap directly; use nn.vmap-free loop via
+        # folding batch into the point axis instead:
+        b, n, c = points.shape
+        batch_off = jnp.arange(b, dtype=jnp.int32)[:, None] * self.max_voxels
+        p2v_flat = jnp.where(p2v < self.max_voxels, p2v + batch_off,
+                             b * self.max_voxels).reshape(-1)
+        pts_flat = points.reshape(b * n, c)
+        vcoords_flat = vcoords.reshape(b * self.max_voxels, 3)
+        vfeats = self.voxel_encoder(pts_flat, p2v_flat, vcoords_flat,
+                                    b * self.max_voxels,
+                                    valid=point_mask.reshape(-1),
+                                    train=train)
+        vfeats = vfeats.reshape(b, self.max_voxels, -1)
+        voxel_mask = jnp.arange(self.max_voxels)[None, :] < nvox[:, None]
+        canvas = self.middle_encoder(vfeats, vcoords, voxel_mask)
+        feats = self.backbone(canvas, train=train)
+        neck = self.neck(feats, train=train)
+        return FeatureBundle(canvas, feats, neck)
+
+    def __call__(self, points, point_mask, train: bool = False):
+        bundle = self.extract_pts_feat(points, point_mask, train=train)
+        preds = self.bbox_head(bundle.neck_feat, train=train)
+        return preds, bundle
+
+    def loss(self, preds, gt_boxes, gt_labels, gt_mask,
+             return_targets: bool = False):
+        return self.bbox_head.loss(preds, gt_boxes, gt_labels, gt_mask,
+                                   return_targets=return_targets)
+
+    def get_bboxes(self, preds):
+        return self.bbox_head.get_bboxes(preds)
