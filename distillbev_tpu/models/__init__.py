@@ -7,6 +7,10 @@ from . import layers, losses
 from .voxel_encoders import pillar_encoder  # noqa: F401 — registration
 from .middle_encoders import pillar_scatter  # noqa: F401
 from .backbones import second  # noqa: F401
+from .backbones import resnet  # noqa: F401
 from .necks import second_fpn  # noqa: F401
+from .necks import fpn  # noqa: F401
+from .necks import view_transformer  # noqa: F401
 from .dense_heads import centerpoint_head  # noqa: F401
 from .detectors import centerpoint  # noqa: F401
+from .detectors import bevdet  # noqa: F401

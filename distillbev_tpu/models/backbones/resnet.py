@@ -1,0 +1,132 @@
+"""Image and BEV ResNet backbones.
+
+``ResNet`` — mmdet-style R18/R34/R50/R101 image backbone with
+``out_indices`` / ``frozen_stages`` / ``norm_eval`` semantics (reference:
+mmdet package ResNet, configured at e.g. distill cfg
+...to_bevdepth4d_r50.py:96-107).  ``frozen_stages`` freezing is enforced
+by the optimizer mask in training (functional params can't be "frozen" in
+the module itself); ``with_cp`` maps to ``jax.checkpoint`` rematerialization.
+
+``ResNetForBEVDet`` — lightweight BEV-space resnet (reference:
+mmdet3d/models/backbones/resnet.py:13-62): per-stage [block x N] with a
+3x3-conv downsample on the first block of each stage, returning features
+at ``backbone_output_ids``.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..builder import BACKBONES
+from ..layers import BasicBlock, Bottleneck, make_norm
+
+ARCH_SETTINGS = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
+
+@BACKBONES.register_module()
+class ResNet(nn.Module):
+    depth: int = 50
+    num_stages: int = 4
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    strides: Sequence[int] = (1, 2, 2, 2)
+    dilations: Sequence[int] = (1, 1, 1, 1)
+    frozen_stages: int = -1
+    norm_cfg: Any = None
+    norm_eval: bool = False
+    style: str = "pytorch"
+    with_cp: bool = False
+    pretrained: Any = None
+    base_channels: int = 64
+    init_cfg: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
+        """x [B, H, W, 3] -> tuple of stage features (stride 4..32)."""
+        block_type, stage_blocks = ARCH_SETTINGS[self.depth]
+        stage_blocks = stage_blocks[:self.num_stages]
+        norm = make_norm(dict(self.norm_cfg) if self.norm_cfg else None)
+        # stem: 7x7/2 conv + maxpool/2
+        x = nn.Conv(self.base_channels, (7, 7), strides=(2, 2),
+                    padding=((3, 3), (3, 3)), use_bias=False,
+                    name="stem_conv")(x)
+        x = norm(name="stem_bn")(x, use_running_average=not train or
+                                 self.norm_eval)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        outs = []
+        channels = self.base_channels
+        for i, n_blocks in enumerate(stage_blocks):
+            stride = self.strides[i]
+            dilation = self.dilations[i]
+            for j in range(n_blocks):
+                s = stride if j == 0 else 1
+                if block_type == "bottleneck":
+                    blk = Bottleneck(channels, stride=s, dilation=dilation,
+                                     norm_cfg=self.norm_cfg,
+                                     name=f"layer{i + 1}_block{j}")
+                else:
+                    blk = BasicBlock(channels, stride=s,
+                                     norm_cfg=self.norm_cfg,
+                                     name=f"layer{i + 1}_block{j}")
+                if self.with_cp and not self.is_initializing():
+                    x = jax.checkpoint(
+                        lambda xx, b=blk: b(xx, train=train and not
+                                            self.norm_eval))(x)
+                else:
+                    x = blk(x, train=train and not self.norm_eval)
+            if i in self.out_indices:
+                outs.append(x)
+            channels *= 2
+        return tuple(outs)
+
+
+@BACKBONES.register_module()
+class ResNetForBEVDet(nn.Module):
+    numC_input: int = 64
+    num_layer: Sequence[int] = (2, 2, 2)
+    num_channels: Optional[Sequence[int]] = None
+    stride: Sequence[int] = (2, 2, 2)
+    backbone_output_ids: Optional[Sequence[int]] = None
+    norm_cfg: Any = None
+    act_cfg: Any = "ReLU"
+    with_cp: bool = False
+    block_type: str = "Basic"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
+        num_channels = list(self.num_channels) if self.num_channels else \
+            [self.numC_input * 2 ** (i + 1)
+             for i in range(len(self.num_layer))]
+        out_ids = (list(self.backbone_output_ids)
+                   if self.backbone_output_ids is not None
+                   else list(range(len(self.num_layer))))
+        outs = []
+        for i, n in enumerate(self.num_layer):
+            for j in range(n):
+                s = self.stride[i] if j == 0 else 1
+                ch = num_channels[i]
+                if self.block_type == "BottleNeck":
+                    blk = Bottleneck(ch // 4, stride=s,
+                                     norm_cfg=self.norm_cfg,
+                                     name=f"stage{i}_block{j}")
+                else:
+                    blk = BasicBlock(ch, stride=s, norm_cfg=self.norm_cfg,
+                                     name=f"stage{i}_block{j}")
+                if self.with_cp and not self.is_initializing():
+                    x = jax.checkpoint(
+                        lambda xx, b=blk: b(xx, train=train))(x)
+                else:
+                    x = blk(x, train=train)
+            if i in out_ids:
+                outs.append(x)
+        return tuple(outs)

@@ -1,0 +1,258 @@
+"""BEVDet / BEVDepth / BEVDepth4D camera-BEV students.
+
+Capability parity with the reference detector family
+(reference: mmdet3d/models/detectors/bevdet.py — BEVDet:14-185,
+BEVDetSequentialES.shift_feature:267-321, BEVDepth_Base.get_depth_loss
+:397-417, BEVDepth4D:509-679; and the distill forward variants in
+bevdet_distill_more.py:370-457 whose feature-return protocol the
+distillation engine consumes).
+
+TPU-native design:
+* channels-last everywhere; images arrive as [B, F*N, H, W, 3] with F
+  frames already ego-aligned by the data pipeline;
+* the two temporal frames run through the shared image encoder as one
+  batched [B*2N] pass (the reference loops frames sequentially) —
+  bigger matmuls for the MXU, one bev_pool per frame;
+* ``shift_feature`` reproduces the ego-motion BEV warp with our
+  grid_sample (align_corners=True) in fp32;
+* every distillation pairing position is returned in a bundle instead of
+  the reference's return_* flags.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..builder import (DETECTORS, build_backbone, build_head, build_neck)
+from ..necks.view_transformer import depth_bce_loss
+from ...ops.grid_sample import grid_sample
+
+
+class ImgInputs(NamedTuple):
+    """Static-shape camera inputs.
+
+    imgs: [B, F*N, H, W, 3] (F=1 or 2 frames).
+    rots/intrins/post_rots: [B, F, N, 3, 3]; trans/post_trans: [B, F, N, 3].
+    depth_gt: optional [B, N, fH, fW] lidar depth for the key frame.
+    """
+    imgs: jnp.ndarray
+    rots: jnp.ndarray
+    trans: jnp.ndarray
+    intrins: jnp.ndarray
+    post_rots: jnp.ndarray
+    post_trans: jnp.ndarray
+    depth_gt: Optional[jnp.ndarray] = None
+
+
+class StudentFeatureBundle(NamedTuple):
+    """Distillation pairing positions (reference student_feat_pos values)."""
+    neck_feat: jnp.ndarray                       # 'head' position
+    backbone_feats: Optional[Tuple[jnp.ndarray, ...]]  # 'backbone*'
+    lss_feat: Optional[jnp.ndarray]              # 'lss' position
+
+
+class _BEVDetBase(nn.Module):
+    """Shared pieces: image encoder + bev encoder + head glue."""
+    img_backbone: Any = None
+    img_neck: Any = None
+    img_view_transformer: Any = None
+    img_bev_encoder_backbone: Any = None
+    img_bev_encoder_neck: Any = None
+    pts_bbox_head: Any = None
+    pre_process: Any = None
+    train_cfg: Any = None
+    test_cfg: Any = None
+    aligned: bool = True
+    detach: bool = True
+    before: bool = True
+
+    def setup(self):
+        self.backbone = build_backbone(dict(self.img_backbone))
+        self.neck = build_neck(dict(self.img_neck))
+        self.view_transformer = build_neck(dict(self.img_view_transformer))
+        self.bev_backbone = build_backbone(
+            dict(self.img_bev_encoder_backbone))
+        self.bev_neck = build_neck(dict(self.img_bev_encoder_neck))
+        if self.pre_process is not None:
+            self.pre_process_net = build_backbone(dict(self.pre_process))
+        head_cfg = dict(self.pts_bbox_head)
+        head_cfg.setdefault("train_cfg", (self.train_cfg or {}).get("pts"))
+        head_cfg.setdefault("test_cfg", (self.test_cfg or {}).get("pts"))
+        self.bbox_head = build_head(head_cfg)
+
+    def image_encoder(self, imgs, train: bool = False):
+        """[B, N, H, W, 3] -> [B, N, fH, fW, C]."""
+        b, n, h, w, c = imgs.shape
+        x = self.backbone(imgs.reshape(b * n, h, w, c), train=train)
+        x = self.neck(x, train=train)
+        if isinstance(x, (tuple, list)):
+            assert len(x) == 1
+            x = x[0]
+        _, fh, fw, cc = x.shape
+        return x.reshape(b, n, fh, fw, cc)
+
+    def bev_encoder(self, bev, train: bool = False):
+        feats = self.bev_backbone(bev, train=train)
+        out = self.bev_neck(feats, train=train)
+        if isinstance(out, (tuple, list)):
+            assert len(out) == 1
+            out = out[0]
+        return out, feats
+
+    def head_loss(self, preds, gt_boxes, gt_labels, gt_mask,
+                  return_targets: bool = False):
+        return self.bbox_head.loss(preds, gt_boxes, gt_labels, gt_mask,
+                                   return_targets=return_targets)
+
+    def get_bboxes(self, preds):
+        return self.bbox_head.get_bboxes(preds)
+
+
+@DETECTORS.register_module()
+class BEVDet(_BEVDetBase):
+    """Single-frame camera detector (reference BEVDet:14-75)."""
+
+    def extract_img_feat(self, inputs: ImgInputs, train: bool = False):
+        x = self.image_encoder(inputs.imgs, train=train)
+        bev = self.view_transformer(
+            (x, inputs.rots[:, 0], inputs.trans[:, 0],
+             inputs.intrins[:, 0], inputs.post_rots[:, 0],
+             inputs.post_trans[:, 0]), train=train)
+        neck, feats = self.bev_encoder(bev, train=train)
+        return StudentFeatureBundle(neck, feats, bev), None
+
+    def __call__(self, inputs: ImgInputs, train: bool = False):
+        bundle, depth = self.extract_img_feat(inputs, train=train)
+        preds = self.bbox_head(bundle.neck_feat, train=train)
+        return preds, bundle, depth
+
+
+@DETECTORS.register_module()
+class BEVDepth(_BEVDetBase):
+    """BEVDet + depth-supervised DepthNet (reference BEVDepth:420-507)."""
+
+    def extract_img_feat(self, inputs: ImgInputs, train: bool = False):
+        x = self.image_encoder(inputs.imgs, train=train)
+        bev, depth_logits = self.view_transformer(
+            (x, inputs.rots[:, 0], inputs.trans[:, 0],
+             inputs.intrins[:, 0], inputs.post_rots[:, 0],
+             inputs.post_trans[:, 0]), train=train)
+        neck, feats = self.bev_encoder(bev, train=train)
+        return StudentFeatureBundle(neck, feats, bev), depth_logits
+
+    def __call__(self, inputs: ImgInputs, train: bool = False):
+        bundle, depth = self.extract_img_feat(inputs, train=train)
+        preds = self.bbox_head(bundle.neck_feat, train=train)
+        return preds, bundle, depth
+
+    def depth_loss(self, depth_logits, depth_gt):
+        vt = self.view_transformer
+        return depth_bce_loss(depth_logits, depth_gt,
+                              dict(vt.grid_config)["dbound"],
+                              vt.loss_depth_weight)
+
+
+@DETECTORS.register_module()
+class BEVDepth4D(_BEVDetBase):
+    """2-frame temporal BEVDepth (the distill student's forward,
+    reference bevdet_distill_more.py:370-457 + shift_feature
+    bevdet.py:267-321)."""
+
+    def shift_feature(self, bev_prev, trans, rots):
+        """Warp the previous-frame BEV into the current ego frame.
+
+        bev_prev [B, H, W, C]; trans [B, 2, N, 3]; rots [B, 2, N, 3, 3].
+        fp32 (reference @force_fp32).
+        """
+        b, h, w, c = bev_prev.shape
+        geo = self.view_transformer.geo
+
+        # current/adjacent camera->ego homogeneous transforms (cam 0)
+        def make44(rot, tran):
+            m = jnp.zeros((b, 4, 4), jnp.float32)
+            m = m.at[:, :3, :3].set(rot[:, 0].astype(jnp.float32))
+            m = m.at[:, :3, 3].set(tran[:, 0].astype(jnp.float32))
+            m = m.at[:, 3, 3].set(1.0)
+            return m
+
+        c02l0 = make44(rots[:, 0], trans[:, 0])
+        c12l0 = make44(rots[:, 1], trans[:, 1])
+        l02l1 = jnp.einsum("bij,bjk->bik", c02l0, jnp.linalg.inv(c12l0))
+        # drop z row/col: keep (x, y, const) plane
+        keep = jnp.asarray([0, 1, 3])
+        l02l1 = l02l1[:, keep][:, :, keep]               # [B, 3, 3]
+
+        feat2bev = jnp.asarray(
+            [[geo.dx[0], 0.0, geo.bx[0] - geo.dx[0] / 2],
+             [0.0, geo.dx[1], geo.bx[1] - geo.dx[1] / 2],
+             [0.0, 0.0, 1.0]], jnp.float32)
+        tf = jnp.einsum(
+            "ij,bjk,kl->bil", jnp.linalg.inv(feat2bev), l02l1, feat2bev)
+
+        xs = jnp.arange(w, dtype=jnp.float32)
+        ys = jnp.arange(h, dtype=jnp.float32)
+        grid = jnp.stack(
+            [jnp.broadcast_to(xs[None, :], (h, w)),
+             jnp.broadcast_to(ys[:, None], (h, w)),
+             jnp.ones((h, w), jnp.float32)], axis=-1)     # [H, W, 3]
+        warped = jnp.einsum("bij,hwj->bhwi", tf, grid)
+        norm = jnp.asarray([w - 1.0, h - 1.0], jnp.float32)
+        grid_n = warped[..., :2] / norm * 2.0 - 1.0
+        return grid_sample(bev_prev.astype(jnp.float32), grid_n,
+                           align_corners=True).astype(bev_prev.dtype)
+
+    def extract_img_feat(self, inputs: ImgInputs, train: bool = False):
+        imgs = inputs.imgs
+        b, fn, h, w, _ = imgs.shape
+        n = fn // 2
+        # one batched pass over both frames through the image encoder
+        x = self.image_encoder(imgs, train=train)          # [B, 2N, fh, fw, C]
+        fh, fw, cc = x.shape[2], x.shape[3], x.shape[4]
+        x2 = x.reshape(b, 2, n, fh, fw, cc)
+
+        bev_list = []
+        depth0 = None
+        for f in range(2):
+            # geometry uses the *current* frame extrinsics for both frames
+            # (adjacent cams are ego-aligned by the pipeline; reference
+            # bevdet_distill_more.py:393-395)
+            out = self.view_transformer(
+                (x2[:, f], inputs.rots[:, 0], inputs.trans[:, 0],
+                 inputs.intrins[:, f], inputs.post_rots[:, f],
+                 inputs.post_trans[:, f]), train=train)
+            if isinstance(out, tuple):
+                bev, dl = out
+            else:
+                bev, dl = out, None
+            if f == 0:
+                depth0 = dl
+            bev_list.append(bev)
+
+        if self.before and self.pre_process is not None:
+            bev_list = [self.pre_process_net(bv, train=train)[0]
+                        for bv in bev_list]
+        bev_list[1] = self.shift_feature(bev_list[1], inputs.trans,
+                                         inputs.rots)
+        if self.pre_process is not None and not self.before:
+            bev_list = [self.pre_process_net(bv, train=train)[0]
+                        for bv in bev_list]
+        if self.detach:
+            bev_list[1] = jax.lax.stop_gradient(bev_list[1])
+        bev = jnp.concatenate(bev_list, axis=-1)
+        neck, feats = self.bev_encoder(bev, train=train)
+        return StudentFeatureBundle(neck, feats, bev), depth0
+
+    def __call__(self, inputs: ImgInputs, train: bool = False):
+        bundle, depth = self.extract_img_feat(inputs, train=train)
+        preds = self.bbox_head(bundle.neck_feat, train=train)
+        return preds, bundle, depth
+
+    def depth_loss(self, depth_logits, depth_gt):
+        vt = self.view_transformer
+        return depth_bce_loss(depth_logits, depth_gt,
+                              dict(vt.grid_config)["dbound"],
+                              vt.loss_depth_weight)

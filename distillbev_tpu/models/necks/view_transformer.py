@@ -1,0 +1,260 @@
+"""Lift-Splat-Shoot view transformers (camera -> BEV).
+
+Capability parity with the reference's LSS family
+(reference: mmdet3d/models/necks/view_transformer_mine.py —
+ViewTransformerLiftSplatShoot:59 (create_frustum:98, get_geometry:114,
+voxel_pooling:141-240), SELikeModule:267, ViewTransformerLSSBEVDepth:283;
+and view_transformer.py:57-352 using the CUDA bev_pool).
+
+TPU-native design:
+* the frustum is a static constant folded into the jit graph;
+* geometry is one fused einsum chain (undo image aug -> unproject ->
+  cam-to-ego) in fp32;
+* lift is the depth x context outer product shaped [B, N*D*fH*fW, C];
+* splat goes through ops.bev_pool (sort + segmented scan + unique
+  scatter) instead of CUDA atomics;
+* the reference's DCNv2 before the depth head (view_transformer_mine.py
+  :298-308) is a plain 3x3 conv here — deformable sampling has no MXU
+  mapping; parity is checked at inference tolerance (SURVEY.md §2.1 row
+  DCNv2).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..builder import NECKS, build_backbone
+from ..layers import ConvModule, make_norm
+from ...ops.bev_pool import bev_pool
+
+
+def gen_dx_bx(xbound, ybound, zbound):
+    dx = np.array([row[2] for row in [xbound, ybound, zbound]], np.float32)
+    bx = np.array([row[0] + row[2] / 2.0
+                   for row in [xbound, ybound, zbound]], np.float32)
+    nx = np.array([round((row[1] - row[0]) / row[2])
+                   for row in [xbound, ybound, zbound]], np.int64)
+    return dx, bx, nx
+
+
+class LSSGeometry:
+    """Static geometry helper shared by the LSS transformers."""
+
+    def __init__(self, grid_config: Dict, data_config: Dict,
+                 downsample: int):
+        self.grid_config = grid_config
+        self.data_config = data_config
+        self.downsample = downsample
+        self.dx, self.bx, self.nx = gen_dx_bx(
+            grid_config["xbound"], grid_config["ybound"],
+            grid_config["zbound"])
+        ogfH, ogfW = data_config["input_size"]
+        self.fH, self.fW = ogfH // downsample, ogfW // downsample
+        d0, d1, dd = grid_config["dbound"]
+        self.ds = np.arange(d0, d1, dd, dtype=np.float32)
+        self.D = len(self.ds)
+        xs = np.linspace(0, ogfW - 1, self.fW, dtype=np.float32)
+        ys = np.linspace(0, ogfH - 1, self.fH, dtype=np.float32)
+        frustum = np.zeros((self.D, self.fH, self.fW, 3), np.float32)
+        frustum[..., 0] = xs[None, None, :]
+        frustum[..., 1] = ys[None, :, None]
+        frustum[..., 2] = self.ds[:, None, None]
+        self.frustum = frustum     # [D, fH, fW, 3] (u, v, d)
+
+    def get_geometry(self, rots, trans, intrins, post_rots, post_trans):
+        """Ego-frame xyz of every frustum point.
+
+        rots/intrins/post_rots [B, N, 3, 3]; trans/post_trans [B, N, 3]
+        -> [B, N, D, fH, fW, 3].  fp32 throughout (the reference forces
+        fp32 on geometry, view_transformer_mine.py @force_fp32).
+        """
+        frustum = jnp.asarray(self.frustum)
+        pts = frustum[None, None] - post_trans[:, :, None, None, None, :]
+        inv_post = jnp.linalg.inv(post_rots.astype(jnp.float32))
+        pts = jnp.einsum("bnij,bndhwj->bndhwi", inv_post, pts)
+        # image-plane (u*d, v*d, d)
+        pts = jnp.concatenate(
+            [pts[..., :2] * pts[..., 2:3], pts[..., 2:3]], axis=-1)
+        combine = jnp.einsum(
+            "bnij,bnjk->bnik", rots.astype(jnp.float32),
+            jnp.linalg.inv(intrins.astype(jnp.float32)))
+        pts = jnp.einsum("bnij,bndhwj->bndhwi", combine, pts)
+        return pts + trans[:, :, None, None, None, :]
+
+    def splat(self, geom, volume):
+        """geom [B, N, D, fH, fW, 3]; volume [B, N, D, fH, fW, C]
+        -> [B, ny, nx, C] (rows index y — reference canvas layout)."""
+        b = geom.shape[0]
+        c = volume.shape[-1]
+        nx, ny = int(self.nx[0]), int(self.nx[1])
+        gx = (geom[..., 0] - (self.bx[0] - self.dx[0] / 2)) / self.dx[0]
+        gy = (geom[..., 1] - (self.bx[1] - self.dx[1] / 2)) / self.dx[1]
+        gz = (geom[..., 2] - (self.bx[2] - self.dx[2] / 2)) / self.dx[2]
+        ix = jnp.floor(gx).astype(jnp.int32)
+        iy = jnp.floor(gy).astype(jnp.int32)
+        iz = jnp.floor(gz).astype(jnp.int32)
+        valid = ((ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) &
+                 (iz >= 0) & (iz < int(self.nx[2])))
+        p = int(np.prod(geom.shape[1:5]))
+        batch_idx = jnp.broadcast_to(
+            jnp.arange(b, dtype=jnp.int32).reshape(b, 1, 1, 1, 1),
+            geom.shape[:5])
+        coords = jnp.stack([batch_idx.reshape(-1), iy.reshape(-1),
+                            ix.reshape(-1)], axis=-1)
+        return bev_pool(volume.reshape(-1, c), coords,
+                        valid.reshape(-1), b, ny, nx)
+
+
+@NECKS.register_module()
+class ViewTransformerLiftSplatShoot(nn.Module):
+    """Plain LSS: single 1x1 depthnet predicting D + C_trans channels."""
+    grid_config: Any = None
+    data_config: Any = None
+    numC_input: int = 512
+    numC_Trans: int = 64
+    downsample: int = 16
+    accelerate: bool = True       # kept for config parity; one path here
+    use_bev_pool: bool = True
+
+    @property
+    def geo(self) -> LSSGeometry:
+        gc = dict(self.grid_config) if self.grid_config else {
+            "xbound": [-51.2, 51.2, 0.8], "ybound": [-51.2, 51.2, 0.8],
+            "zbound": [-10.0, 10.0, 20.0], "dbound": [1.0, 60.0, 1.0]}
+        dc = dict(self.data_config) if self.data_config else {
+            "input_size": (256, 704)}
+        return LSSGeometry(gc, dc, self.downsample)
+
+    @property
+    def D(self) -> int:
+        return self.geo.D
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        x, rots, trans, intrins, post_rots, post_trans = inputs[:6]
+        geo = self.geo
+        b, n, fh, fw, c = x.shape
+        y = nn.Conv(geo.D + self.numC_Trans, (1, 1), name="depthnet")(
+            x.reshape(b * n, fh, fw, c))
+        depth = jax.nn.softmax(y[..., :geo.D], axis=-1)
+        img_feat = y[..., geo.D:geo.D + self.numC_Trans]
+        geom = geo.get_geometry(rots, trans, intrins, post_rots,
+                                post_trans)
+        # lift: [BN, fh, fw, D, 1] x [BN, fh, fw, 1, C]
+        volume = depth[..., None] * img_feat[..., None, :]
+        volume = volume.reshape(b, n, fh, fw, geo.D, self.numC_Trans)
+        volume = volume.transpose(0, 1, 4, 2, 3, 5)    # [B,N,D,fh,fw,C]
+        return geo.splat(geom, volume)
+
+
+class SELikeModule(nn.Module):
+    """Camera-parameter conditioning (reference SELikeModule:267-280)."""
+    feat_channel: int = 256
+    intrinsic_channel: int = 33
+
+    @nn.compact
+    def __call__(self, x, cam_params, train: bool = False):
+        y = nn.Conv(self.feat_channel, (1, 1), name="input_conv")(x)
+        p = make_norm(dict(type="BN1d"))(name="fc_bn")(
+            cam_params, use_running_average=not train)
+        p = nn.Dense(self.feat_channel, name="fc")(p)
+        p = nn.sigmoid(p)
+        return y * p[:, None, None, :]
+
+
+@NECKS.register_module()
+class ViewTransformerLSSBEVDepth(nn.Module):
+    """BEVDepth transformer: SE-conditioned depth net + context featnet.
+
+    Returns (bev_feat, depth_logits); depth supervision happens in the
+    detector via ``depth_bce_loss``.
+    """
+    grid_config: Any = None
+    data_config: Any = None
+    numC_input: int = 512
+    numC_Trans: int = 64
+    downsample: int = 16
+    accelerate: bool = True
+    loss_depth_weight: float = 100.0
+    extra_depth_net: Any = None
+    se_config: Any = None
+    dcn_config: Any = None
+
+    @property
+    def geo(self) -> LSSGeometry:
+        gc = dict(self.grid_config) if self.grid_config else {
+            "xbound": [-51.2, 51.2, 0.8], "ybound": [-51.2, 51.2, 0.8],
+            "zbound": [-10.0, 10.0, 20.0], "dbound": [1.0, 60.0, 1.0]}
+        dc = dict(self.data_config) if self.data_config else {
+            "input_size": (256, 704)}
+        return LSSGeometry(gc, dc, self.downsample)
+
+    @property
+    def D(self) -> int:
+        return self.geo.D
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        x, rots, trans, intrins, post_rots, post_trans = inputs[:6]
+        geo = self.geo
+        b, n, fh, fw, c = x.shape
+        xf = x.reshape(b * n, fh, fw, c)
+        img_feat = nn.Conv(self.numC_Trans, (1, 1), name="featnet")(xf)
+
+        cam_params = jnp.concatenate([
+            intrins.reshape(b * n, -1), post_rots.reshape(b * n, -1),
+            post_trans.reshape(b * n, -1), rots.reshape(b * n, -1),
+            trans.reshape(b * n, -1)], axis=-1)
+        ed_cfg = dict(self.extra_depth_net or dict(
+            type="ResNetForBEVDet", numC_input=256, num_layer=[3],
+            num_channels=[256], stride=[1]))
+        dch = ed_cfg["num_channels"][0]
+        depth_feat = SELikeModule(
+            feat_channel=dch,
+            intrinsic_channel=cam_params.shape[-1],
+            name="se")(xf, cam_params, train=train)
+        depth_feat = build_backbone({**ed_cfg, "name": "extra_depthnet"})(
+            depth_feat, train=train)[0]
+        # DCNv2 stand-in: 3x3 conv + BN (see module docstring)
+        depth_feat = nn.Conv(dch, (3, 3), padding=((1, 1), (1, 1)),
+                             name="dcn_conv")(depth_feat)
+        depth_feat = make_norm(dict(type="BN"))(name="dcn_bn")(
+            depth_feat, use_running_average=not train)
+        depth_logits = nn.Conv(geo.D, (1, 1), name="depthnet")(depth_feat)
+        depth = jax.nn.softmax(depth_logits, axis=-1)
+
+        geom = geo.get_geometry(rots, trans, intrins, post_rots,
+                                post_trans)
+        volume = depth[..., None] * img_feat[..., None, :]
+        volume = volume.reshape(b, n, fh, fw, geo.D, self.numC_Trans)
+        volume = volume.transpose(0, 1, 4, 2, 3, 5)
+        bev = geo.splat(geom, volume)
+        return bev, depth_logits.reshape(b, n, fh, fw, geo.D)
+
+
+def depth_bce_loss(depth_logits: jnp.ndarray, depth_gt: jnp.ndarray,
+                   dbound: Sequence[float],
+                   loss_weight: float = 100.0) -> jnp.ndarray:
+    """BCE between per-bin depth sigmoid and one-hot lidar depth
+    (reference: bevdet.py get_depth_loss:397-417; pixels with no lidar
+    depth are masked out).
+
+    depth_logits [B, N, fH, fW, D]; depth_gt [B, N, fH, fW] metric depth
+    (0 = no return).
+    """
+    d = depth_logits.shape[-1]
+    valid = depth_gt > 0
+    idx = jnp.floor((depth_gt - dbound[0]) / dbound[2])
+    idx = jnp.clip(idx, 0, d - 1).astype(jnp.int32)
+    onehot = jax.nn.one_hot(idx, d, dtype=jnp.float32)
+    p = jnp.clip(jax.nn.sigmoid(depth_logits.astype(jnp.float32)),
+                 1e-6, 1 - 1e-6)
+    bce = -(onehot * jnp.log(p) + (1 - onehot) * jnp.log(1 - p))
+    bce = bce * valid[..., None]
+    # reference reduces with a plain mean over ALL elements (the zero
+    # weight rows included) — F.binary_cross_entropy(..., weight=mask)
+    return loss_weight * bce.mean()
