@@ -14,3 +14,6 @@ from .necks import view_transformer  # noqa: F401
 from .dense_heads import centerpoint_head  # noqa: F401
 from .detectors import centerpoint  # noqa: F401
 from .detectors import bevdet  # noqa: F401
+from .detectors import bevdet_distill  # noqa: F401
+from .distill import fgd as _fgd  # noqa: F401
+from .distill import masks as distill_masks  # noqa: F401
