@@ -1,0 +1,70 @@
+"""Benchmark: distillation training step throughput on one TPU chip.
+
+Measures the full CenterPoint-pillar -> BEVDepth4D-R50 FGD distillation
+train step (teacher forward + student forward/backward + FGD losses +
+AdamW update) at the reference's real shapes: 6 cams x 2 frames at
+256x704, BEV 128x128, 300k-point clouds, 30k pillars.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no step-time numbers (SURVEY.md §6).
+BASELINE.md's target is >=2x distill-training step throughput per chip vs
+the PyTorch/CUDA reference; community BEVDepth4D-distill recipes on the
+reference stack run ~2 samples/s per A100-class GPU (8 GPU x 8 samples,
+~30 s / 8 iters), so vs_baseline = measured_samples_per_sec / 2.0.
+"""
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from distillbev_tpu.apis.flagship import build_flagship
+    from distillbev_tpu.training import (init_train_state,
+                                         make_distill_train_step)
+    from distillbev_tpu.training.optim import build_optimizer
+    from distillbev_tpu.training.schedules import build_lr_schedule
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "4"))
+    student, teacher, svars, tvars, batch = build_flagship(
+        batch_size=batch_size, tiny=False)
+
+    lr = build_lr_schedule(dict(policy="step", step=[16, 22]), 2e-4,
+                           total_steps=10000, steps_per_epoch=1000)
+    tx = build_optimizer(dict(type="AdamW", lr=2e-4, weight_decay=1e-2),
+                         lr, svars["params"], grad_clip=dict(max_norm=5))
+    state = init_train_state(svars["params"],
+                             svars.get("batch_stats", {}), tx)
+    step_fn = jax.jit(make_distill_train_step(student, teacher, tx),
+                      donate_argnums=(0,))
+
+    epoch = jnp.float32(1.0)
+    # warmup (compile)
+    state, metrics = step_fn(state, tvars, batch, epoch)
+    jax.block_until_ready(metrics["total_loss"])
+    state, metrics = step_fn(state, tvars, batch, epoch)
+    jax.block_until_ready(metrics["total_loss"])
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = step_fn(state, tvars, batch, epoch)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = (time.perf_counter() - t0) / n_iters
+
+    samples_per_sec = batch_size / dt
+    baseline_samples_per_sec = 2.0   # per-GPU reference estimate (docstring)
+    print(json.dumps({
+        "metric": "distill_train_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 3),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / baseline_samples_per_sec,
+                             3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,6 @@
+from .nuscenes_dataset import DATASETS, PIPELINES, NuScenesDataset, \
+    compose_pipeline
+from .builder import build_dataset, build_dataloader, DataLoader, \
+    EpochSampler
+from .cbgs import CBGSDataset, RepeatDataset
+from .pipelines import loading, transforms_3d, formating  # noqa: F401

@@ -70,20 +70,21 @@ class ResNet(nn.Module):
             dilation = self.dilations[i]
             for j in range(n_blocks):
                 s = stride if j == 0 else 1
+                # with_cp -> flax-aware rematerialization (nn.remat keeps
+                # BN variable writes functional; raw jax.checkpoint leaks)
                 if block_type == "bottleneck":
-                    blk = Bottleneck(channels, stride=s, dilation=dilation,
-                                     norm_cfg=self.norm_cfg,
-                                     name=f"layer{i + 1}_block{j}")
+                    cls = nn.remat(Bottleneck, static_argnums=(2,)) \
+                        if self.with_cp else Bottleneck
+                    blk = cls(channels, stride=s, dilation=dilation,
+                              norm_cfg=self.norm_cfg,
+                              name=f"layer{i + 1}_block{j}")
                 else:
-                    blk = BasicBlock(channels, stride=s,
-                                     norm_cfg=self.norm_cfg,
-                                     name=f"layer{i + 1}_block{j}")
-                if self.with_cp and not self.is_initializing():
-                    x = jax.checkpoint(
-                        lambda xx, b=blk: b(xx, train=train and not
-                                            self.norm_eval))(x)
-                else:
-                    x = blk(x, train=train and not self.norm_eval)
+                    cls = nn.remat(BasicBlock, static_argnums=(2,)) \
+                        if self.with_cp else BasicBlock
+                    blk = cls(channels, stride=s,
+                              norm_cfg=self.norm_cfg,
+                              name=f"layer{i + 1}_block{j}")
+                x = blk(x, train and not self.norm_eval)
             if i in self.out_indices:
                 outs.append(x)
             channels *= 2
@@ -116,17 +117,16 @@ class ResNetForBEVDet(nn.Module):
                 s = self.stride[i] if j == 0 else 1
                 ch = num_channels[i]
                 if self.block_type == "BottleNeck":
-                    blk = Bottleneck(ch // 4, stride=s,
-                                     norm_cfg=self.norm_cfg,
-                                     name=f"stage{i}_block{j}")
+                    cls = nn.remat(Bottleneck, static_argnums=(2,)) \
+                        if self.with_cp else Bottleneck
+                    blk = cls(ch // 4, stride=s, norm_cfg=self.norm_cfg,
+                              name=f"stage{i}_block{j}")
                 else:
-                    blk = BasicBlock(ch, stride=s, norm_cfg=self.norm_cfg,
-                                     name=f"stage{i}_block{j}")
-                if self.with_cp and not self.is_initializing():
-                    x = jax.checkpoint(
-                        lambda xx, b=blk: b(xx, train=train))(x)
-                else:
-                    x = blk(x, train=train)
+                    cls = nn.remat(BasicBlock, static_argnums=(2,)) \
+                        if self.with_cp else BasicBlock
+                    blk = cls(ch, stride=s, norm_cfg=self.norm_cfg,
+                              name=f"stage{i}_block{j}")
+                x = blk(x, train)
             if i in out_ids:
                 outs.append(x)
         return tuple(outs)

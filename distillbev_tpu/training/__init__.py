@@ -1,0 +1,4 @@
+from . import schedules, optim, param_utils
+from .train_step import (TrainState, PointsBatch, DistillBatch,
+                         make_detector_train_step, make_distill_train_step,
+                         init_train_state, gravity_centered)

@@ -1,0 +1,155 @@
+"""Parameter-tree surgery: head inheritance + torch checkpoint conversion.
+
+Capability parity with:
+* ``inherit_head`` — student head initialized from the teacher's task
+  heads (reference: bevdet_distill.py init_weights:367-373 load_state_dict
+  of pts_bbox_head.task_heads);
+* the PyTorch->JAX weight converter required so released reference
+  checkpoints reproduce their nuScenes metrics (SURVEY.md §5 checkpoint
+  notes; reference checkpoints are torch state_dicts saved by mmcv).
+
+Torch layout -> flax layout rules: Conv2d OIHW -> HWIO; ConvTranspose2d
+IOHW -> HWIO (flipped? no — flax ConvTranspose kernel is HWIO with fan-in
+first); Linear [out, in] -> [in, out]; BN weight/bias/running_* ->
+scale/bias/mean/var.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def flatten_tree(tree, prefix=()) -> Dict[Tuple[str, ...], Any]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, prefix + (str(k),)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def unflatten_tree(flat: Dict[Tuple[str, ...], Any]):
+    root: Dict[str, Any] = {}
+    for path, v in flat.items():
+        d = root
+        for k in path[:-1]:
+            d = d.setdefault(k, {})
+        d[path[-1]] = v
+    return root
+
+
+def inherit_head_params(student_params: Dict, teacher_params: Dict,
+                        head_key: str = "bbox_head",
+                        verbose: bool = False) -> Dict:
+    """Copy the teacher's task-head params into the student head where
+    names+shapes match (reference inherit_head semantics: task heads only,
+    strict=False)."""
+    import jax.numpy as jnp
+    s_flat = flatten_tree(student_params)
+    t_flat = flatten_tree(teacher_params)
+    t_heads = {p: v for p, v in t_flat.items()
+               if head_key in p and any(
+                   str(seg).startswith("task_") for seg in p)}
+    copied = 0
+    out = dict(s_flat)
+    for t_path, t_val in t_heads.items():
+        # align on the suffix starting at the head key
+        try:
+            i = t_path.index(head_key)
+        except ValueError:
+            continue
+        suffix = t_path[i:]
+        matches = [p for p in s_flat if p[-len(suffix):] == suffix]
+        for p in matches:
+            if np.shape(s_flat[p]) == np.shape(t_val):
+                out[p] = jnp.asarray(t_val)
+                copied += 1
+    if verbose:
+        print(f"inherit_head: copied {copied} tensors")
+    return unflatten_tree(out)
+
+
+# -- torch state_dict conversion -------------------------------------------
+
+
+def convert_tensor(name: str, t: np.ndarray) -> np.ndarray:
+    """Layout-convert one torch tensor by name heuristics."""
+    a = np.asarray(t)
+    if a.ndim == 4:
+        # Conv2d OIHW -> HWIO
+        return a.transpose(2, 3, 1, 0)
+    if a.ndim == 5:
+        # Conv3d OIDHW -> DHWIO
+        return a.transpose(2, 3, 4, 1, 0)
+    if a.ndim == 2:
+        # Linear [out, in] -> [in, out]
+        return a.transpose(1, 0)
+    return a
+
+
+def torch_state_dict_to_arrays(state_dict) -> Dict[str, np.ndarray]:
+    """Materialize a torch state_dict (or raw mapping) to numpy."""
+    out = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load an mmcv/torch checkpoint file -> flat numpy dict.
+
+    Reference checkpoints store {'state_dict': ..., 'meta': ...}
+    (tools/train.py:220-230)."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    return torch_state_dict_to_arrays(sd)
+
+
+def map_params(torch_flat: Dict[str, np.ndarray],
+               name_map: Dict[str, Tuple[str, ...]],
+               target_params: Dict) -> Tuple[Dict, list, list]:
+    """Place converted torch tensors into a flax param tree.
+
+    Args:
+        torch_flat: torch name -> numpy array.
+        name_map: torch name -> flax path tuple (e.g. ('backbone',
+            'stem_conv', 'kernel')).
+        target_params: the flax tree to fill (copied, not mutated).
+
+    Returns (new_params, missing, mismatched).
+    """
+    flat = flatten_tree(target_params)
+    out = dict(flat)
+    missing, mismatched = [], []
+    for tname, path in name_map.items():
+        if tname not in torch_flat:
+            missing.append(tname)
+            continue
+        arr = convert_tensor(tname, torch_flat[tname])
+        if path not in out:
+            missing.append("/".join(path))
+            continue
+        if np.shape(out[path]) != arr.shape:
+            mismatched.append((tname, arr.shape, np.shape(out[path])))
+            continue
+        out[path] = arr
+    return unflatten_tree(out), missing, mismatched
+
+
+def bn_name_map(torch_prefix: str, flax_path: Tuple[str, ...],
+                stats_map: Optional[Dict] = None) -> Dict:
+    """Standard BN tensor mapping; running stats go into ``stats_map``
+    if given (they live in the batch_stats collection)."""
+    m = {
+        f"{torch_prefix}.weight": flax_path + ("scale",),
+        f"{torch_prefix}.bias": flax_path + ("bias",),
+    }
+    if stats_map is not None:
+        stats_map[f"{torch_prefix}.running_mean"] = flax_path + ("mean",)
+        stats_map[f"{torch_prefix}.running_var"] = flax_path + ("var",)
+    return m

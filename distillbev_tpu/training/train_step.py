@@ -1,0 +1,143 @@
+"""Jitted train steps: teacher detector training + distillation training.
+
+Replaces the reference's runner/hook stack (reference:
+apis/mmdet_train.py:29-201 — EpochBasedRunner + OptimizerHook + DDP) with
+pure functions: one ``train_step(state, batch) -> (state, metrics)`` per
+recipe, jitted once and executed under GSPMD sharding over the data mesh.
+The teacher runs inside the same jit under ``stop_gradient`` (the
+reference runs it under torch.no_grad, bevdet_distill.py:1437), so XLA
+overlaps teacher and student compute and no extra host sync exists.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.detectors.bevdet import ImgInputs
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class PointsBatch(NamedTuple):
+    """LiDAR detector batch (teacher training)."""
+    points: jnp.ndarray        # [B, N, C]
+    point_mask: jnp.ndarray    # [B, N]
+    gt_boxes: jnp.ndarray      # [B, M, 9] bottom-center boxes
+    gt_labels: jnp.ndarray     # [B, M]
+    gt_mask: jnp.ndarray       # [B, M]
+
+
+class DistillBatch(NamedTuple):
+    """Camera-student distillation batch."""
+    img_inputs: ImgInputs
+    points: jnp.ndarray
+    point_mask: jnp.ndarray
+    gt_boxes: jnp.ndarray
+    gt_labels: jnp.ndarray
+    gt_mask: jnp.ndarray
+
+
+def gravity_centered(gt_boxes: jnp.ndarray) -> jnp.ndarray:
+    """bottom-center -> gravity-center z (head targets use gravity z,
+    reference centerpoint_head.get_targets_single:472-477)."""
+    return gt_boxes.at[..., 2].add(gt_boxes[..., 5] * 0.5)
+
+
+def make_detector_train_step(model, tx) -> Callable:
+    """Plain LiDAR detector (CenterPoint family) train step."""
+
+    def train_step(state: TrainState, batch: PointsBatch):
+        gt = gravity_centered(batch.gt_boxes)
+
+        def loss_fn(params):
+            (preds, _), new_state = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch.points, batch.point_mask, train=True,
+                mutable=["batch_stats"])
+            losses = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                preds, gt, batch.gt_labels, batch.gt_mask,
+                method=model.loss)
+            total = sum(jax.tree_util.tree_leaves(losses))
+            return total, (losses, new_state["batch_stats"])
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, new_stats, opt_state,
+                          state.step + 1), metrics
+
+    return train_step
+
+
+def make_distill_train_step(student, teacher, tx,
+                            use_depth_loss: bool = True) -> Callable:
+    """Distillation train step: student det loss + depth loss + distill
+    losses, teacher frozen (reference BEVDepth4DDistill.forward_train,
+    bevdet_distill_more.py:457-520)."""
+
+    def train_step(state: TrainState, teacher_variables,
+                   batch: DistillBatch, epoch: jnp.ndarray):
+        gt = gravity_centered(batch.gt_boxes)
+
+        # frozen teacher forward — no grads, XLA overlaps it freely
+        t_preds, t_bundle = teacher.apply(
+            teacher_variables, batch.points, batch.point_mask,
+            train=False)
+        t_preds = jax.lax.stop_gradient(t_preds)
+        t_bundle = jax.lax.stop_gradient(t_bundle)
+
+        def loss_fn(params):
+            variables = {"params": params,
+                         "batch_stats": state.batch_stats}
+            (preds, bundle, depth), new_state = student.apply(
+                variables, batch.img_inputs, train=True,
+                mutable=["batch_stats"])
+            det_losses, targets = student.apply(
+                variables, preds, gt, batch.gt_labels, batch.gt_mask,
+                True, method=student.head_loss)
+            heatmaps = targets[0]
+            losses = dict(det_losses)
+            if use_depth_loss and depth is not None and \
+                    batch.img_inputs.depth_gt is not None:
+                losses["loss_depth"] = student.apply(
+                    variables, depth, batch.img_inputs.depth_gt,
+                    method=student.depth_loss)
+            distill = student.apply(
+                variables, bundle, preds, t_bundle, t_preds, gt,
+                batch.gt_labels, batch.gt_mask, heatmaps, epoch,
+                True, method=student.distill_losses)
+            losses.update(distill)
+            total = sum(jax.tree_util.tree_leaves(losses))
+            return total, (losses, new_state["batch_stats"])
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, new_stats, opt_state,
+                          state.step + 1), metrics
+
+    return train_step
+
+
+def init_train_state(params, batch_stats, tx) -> TrainState:
+    return TrainState(params, batch_stats, tx.init(params),
+                      jnp.zeros((), jnp.int32))

@@ -1,0 +1,138 @@
+"""Training loop + GSPMD data-parallel sharding tests on the 8-device
+virtual CPU mesh (the multi-chip validation path, SURVEY.md §4)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from distillbev_tpu.models import build_detector
+from distillbev_tpu.models.detectors.bevdet import ImgInputs
+from distillbev_tpu.parallel import (make_mesh, shard_batch, replicate,
+                                     data_sharding)
+from distillbev_tpu.training import (DistillBatch, PointsBatch, TrainState,
+                                     init_train_state,
+                                     make_detector_train_step,
+                                     make_distill_train_step)
+from distillbev_tpu.training.optim import build_optimizer
+from distillbev_tpu.training.schedules import build_lr_schedule
+from distillbev_tpu.training.param_utils import inherit_head_params
+
+from test_model_centerpoint import tiny_centerpoint_cfg, make_batch
+from test_model_bevdepth import make_inputs
+from test_distill import distill_cfg
+
+
+def test_schedules_shapes():
+    lr = build_lr_schedule(dict(policy="step", step=[2, 4]), 1e-3,
+                           total_steps=60, steps_per_epoch=10)
+    assert abs(float(lr(0)) - 1e-3) < 1e-9
+    assert abs(float(lr(25)) - 1e-4) < 1e-9
+    assert abs(float(lr(45)) - 1e-5) < 1e-9
+    cyc = build_lr_schedule(dict(policy="cyclic", target_ratio=(10, 1e-4)),
+                            1e-3, total_steps=100, steps_per_epoch=10)
+    assert float(cyc(40)) == pytest.approx(1e-2, rel=1e-3)  # peak at 40%
+    cos = build_lr_schedule(
+        dict(policy="CosineAnnealing", min_lr_ratio=1e-3,
+             warmup="linear", warmup_iters=10, warmup_ratio=1 / 3),
+        3e-4, total_steps=100, steps_per_epoch=10)
+    assert float(cos(0)) == pytest.approx(1e-4, rel=1e-3)
+    assert float(cos(100)) == pytest.approx(3e-7, rel=1e-2)
+
+
+def test_paramwise_lr_mult_and_frozen():
+    params = {"backbone": {"w": jnp.ones((4,))},
+              "head": {"w": jnp.ones((4,))},
+              "frozen_thing": {"w": jnp.ones((4,))}}
+    tx = build_optimizer(
+        dict(type="AdamW", lr=1e-2, weight_decay=0.0,
+             paramwise_cfg=dict(
+                 custom_keys={"backbone": dict(lr_mult=0.1)},
+                 frozen_keys=["frozen_thing"])),
+        lambda s: 1e-2, params, grad_clip=dict(max_norm=35))
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    up_b = float(jnp.abs(updates["backbone"]["w"]).mean())
+    up_h = float(jnp.abs(updates["head"]["w"]).mean())
+    up_f = float(jnp.abs(updates["frozen_thing"]["w"]).mean())
+    assert up_f == 0.0
+    assert up_b == pytest.approx(up_h * 0.1, rel=1e-3)
+
+
+def test_teacher_train_step_sharded(rng, cpu_devices):
+    """CenterPoint teacher training under an 8-device data mesh."""
+    mesh = make_mesh(cpu_devices)
+    model = build_detector(tiny_centerpoint_cfg())
+    pts, mask, gt, labels, gmask = make_batch(rng, b=8, n=128)
+    variables = model.init(jax.random.PRNGKey(0), pts[:1], mask[:1])
+    tx = build_optimizer(dict(type="AdamW", lr=1e-3, weight_decay=0.01),
+                         lambda s: 1e-3, variables["params"],
+                         grad_clip=dict(max_norm=35))
+    state = init_train_state(variables["params"],
+                             variables.get("batch_stats", {}), tx)
+    step_fn = jax.jit(make_detector_train_step(model, tx))
+    with mesh:
+        state = replicate(mesh, state)
+        batch = shard_batch(mesh, PointsBatch(pts, mask, gt, labels,
+                                              gmask))
+        for _ in range(2):
+            state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert float(metrics["grad_norm"]) > 0
+    assert int(state.step) == 2
+
+
+def test_distill_train_step_sharded(rng, cpu_devices):
+    """Full distillation train step (teacher + student + FGD) sharded over
+    the 8-device mesh — the dryrun_multichip path."""
+    mesh = make_mesh(cpu_devices)
+    b = 8
+    teacher = build_detector(tiny_centerpoint_cfg())
+    pts, mask, gt, labels, gmask = make_batch(rng, b=b, n=64)
+    tvars = teacher.init(jax.random.PRNGKey(1), pts[:1], mask[:1])
+    _, t_bundle = teacher.apply(tvars, pts[:1], mask[:1])
+
+    student = build_detector(distill_cfg())
+    inputs1 = make_inputs(rng, b=1)
+    svars = student.init(jax.random.PRNGKey(0), inputs1, t_bundle,
+                         method="init_with_teacher")
+    # inherit_head surgery: shapes match (both CenterHead 16ch shared)
+    params = inherit_head_params(svars["params"], tvars["params"])
+
+    tx = build_optimizer(dict(type="AdamW", lr=2e-4, weight_decay=0.01),
+                         lambda s: 2e-4, params,
+                         grad_clip=dict(max_norm=5))
+    state = init_train_state(params, svars.get("batch_stats", {}), tx)
+    step_fn = jax.jit(make_distill_train_step(student, teacher, tx))
+
+    inputs = make_inputs(rng, b=b)
+    batch = DistillBatch(inputs, pts, mask, gt, labels, gmask)
+    with mesh:
+        state = replicate(mesh, state)
+        tvars_r = replicate(mesh, tvars)
+        batch = shard_batch(mesh, batch)
+        state, metrics = step_fn(state, tvars_r, batch, jnp.float32(1.0))
+        state, metrics = step_fn(state, tvars_r, batch, jnp.float32(1.0))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert any(k.startswith("kd_") for k in metrics)
+    assert "loss_depth" in metrics
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_inherit_head_copies_matching(rng):
+    teacher = build_detector(tiny_centerpoint_cfg())
+    pts, mask, *_ = make_batch(rng, b=1)
+    tvars = teacher.init(jax.random.PRNGKey(1), pts, mask)
+    student = build_detector(tiny_centerpoint_cfg())
+    svars = student.init(jax.random.PRNGKey(2), pts, mask)
+    merged = inherit_head_params(svars["params"], tvars["params"])
+    t_head = tvars["params"]["bbox_head"]["task_0"]
+    m_head = merged["bbox_head"]["task_0"]
+    leaves_t = jax.tree_util.tree_leaves(t_head)
+    leaves_m = jax.tree_util.tree_leaves(m_head)
+    assert all(np.allclose(a, b) for a, b in zip(leaves_t, leaves_m))
+    # non-head params untouched
+    assert np.allclose(
+        jax.tree_util.tree_leaves(merged["backbone"])[0],
+        jax.tree_util.tree_leaves(svars["params"]["backbone"])[0])
