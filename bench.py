@@ -42,17 +42,17 @@ def main():
                       donate_argnums=(0,))
 
     epoch = jnp.float32(1.0)
-    # warmup (compile)
-    state, metrics = step_fn(state, tvars, batch, epoch)
-    jax.block_until_ready(metrics["total_loss"])
-    state, metrics = step_fn(state, tvars, batch, epoch)
-    jax.block_until_ready(metrics["total_loss"])
+    # warmup (compile; sync via host value — block_until_ready on this
+    # remote transport returns before execution completes)
+    for _ in range(3):
+        state, metrics = step_fn(state, tvars, batch, epoch)
+        float(metrics["total_loss"])
 
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, metrics = step_fn(state, tvars, batch, epoch)
-    jax.block_until_ready(metrics["total_loss"])
+        float(metrics["total_loss"])
     dt = (time.perf_counter() - t0) / n_iters
 
     samples_per_sec = batch_size / dt

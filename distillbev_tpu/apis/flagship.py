@@ -274,17 +274,29 @@ def build_flagship(batch_size: int = 1, tiny: bool = False,
     # slower still.  CPU init is seconds; params transfer once.
     cpu = jax.devices("cpu")[0]
     default = jax.devices()[0]
+    # Parameter SHAPES are independent of image size and point count, so
+    # the init forward runs through a small-config twin module on a tiny
+    # batch (seconds of CPU time instead of minutes); the resulting
+    # param tree drops into the full-size module unchanged.
+    import copy
+    s_cfg_init = copy.deepcopy(s_cfg)
+    s_cfg_init["img_view_transformer"]["data_config"] = {
+        "input_size": (64, 176)}
+    student_init = build_detector(s_cfg_init)
+    init_batch = make_example_batch(1, n_points=4096, img_hw=(64, 176),
+                                    seed=seed)
     with jax.default_device(cpu):
-        small_pts = jax.device_put(np.asarray(batch.points[:1]), cpu)
-        small_msk = jax.device_put(np.asarray(batch.point_mask[:1]), cpu)
+        small_pts = jax.device_put(np.asarray(init_batch.points), cpu)
+        small_msk = jax.device_put(np.asarray(init_batch.point_mask),
+                                   cpu)
         tvars = jax.jit(teacher.init)(jax.random.PRNGKey(1), small_pts,
                                       small_msk)
         _, t_bundle = jax.jit(teacher.apply)(tvars, small_pts, small_msk)
         from functools import partial
         small_img = jax.tree_util.tree_map(
-            lambda x: jax.device_put(np.asarray(x[:1]), cpu),
-            batch.img_inputs)
-        svars = jax.jit(partial(student.init,
+            lambda x: jax.device_put(np.asarray(x), cpu),
+            init_batch.img_inputs)
+        svars = jax.jit(partial(student_init.init,
                                 method="init_with_teacher"))(
             jax.random.PRNGKey(0), small_img, t_bundle)
     if default.platform != "cpu":

