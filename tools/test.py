@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Evaluation CLI (reference: tools/test.py:105-260 — config + checkpoint
+load, eval over the val split, --eval mAP metrics dump)."""
+from __future__ import annotations
+
+import argparse
+import json
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+from distillbev_tpu.config import Config, DictAction
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Test a detector")
+    parser.add_argument("config")
+    parser.add_argument("checkpoint", nargs="?", default=None)
+    parser.add_argument("--eval", nargs="*", default=["mAP"])
+    parser.add_argument("--out", help="json path for raw results")
+    parser.add_argument("--cfg-options", nargs="+",
+                        action=DictAction.argparse())
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_dict(args.cfg_options)
+
+    import jax
+    from distillbev_tpu.apis.test import run_eval, evaluate_results
+    from distillbev_tpu.datasets import build_dataset, build_dataloader
+    from distillbev_tpu.models import build_detector
+    from distillbev_tpu.utils.logger import get_root_logger
+
+    logger = get_root_logger()
+    dataset = build_dataset(cfg.data["test"])
+    loader = build_dataloader(dataset, cfg.data.get(
+        "samples_per_gpu", 1), cfg.data["workers_per_gpu"],
+        shuffle=False)
+    model = build_detector(dict(cfg.model), cfg.get("train_cfg"),
+                           cfg.get("test_cfg"))
+    family = "img" if any(k in cfg.model["type"] for k in
+                          ("BEVDet", "BEVDepth", "BEVFormer")) else \
+        "points"
+
+    if args.checkpoint:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        variables = ckptr.restore(osp.abspath(args.checkpoint))
+    else:
+        logger.warning("no checkpoint given — evaluating random init")
+        first = dataset[0]
+        raise SystemExit("checkpoint required")
+
+    results = run_eval(model, variables, dataset, loader, family=family,
+                       logger=logger)
+    if args.out:
+        np_results = {k: [v2.tolist() for v2 in v]
+                      for k, v in results.items()}
+        with open(args.out, "w") as f:
+            json.dump(np_results, f)
+    metrics = evaluate_results(dataset, results, logger=logger)
+    print(json.dumps({k: float(v) for k, v in metrics.items()},
+                     indent=2))
+
+
+if __name__ == "__main__":
+    main()
