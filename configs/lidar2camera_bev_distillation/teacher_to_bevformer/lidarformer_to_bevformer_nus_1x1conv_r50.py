@@ -1,0 +1,105 @@
+# LidarFormer -> BEVFormer-R50 FGD distillation
+# (reference: configs/lidar2camera_bev_distillation/teacher_to_bevformer/
+#  lidarformer_to_bevformer_nus_1x1conv_r50.py)
+_base_ = ["../../_base_/datasets/nus-3d.py",
+          "../../_base_/default_runtime.py"]
+
+point_cloud_range = [-51.2, -51.2, -5.0, 51.2, 51.2, 3.0]
+class_names = [
+    "car", "truck", "construction_vehicle", "bus", "trailer", "barrier",
+    "motorcycle", "bicycle", "pedestrian", "traffic_cone",
+]
+_dim_ = 256
+_ffn_dim_ = 512
+bev_h_ = 200
+bev_w_ = 200
+queue_length = 4
+
+model = dict(
+    type="BEVFormerDistill",
+    teacher_config="configs/teacher_transformer/lidarformer.py",
+    teacher_ckpt=None,
+    distill_type="fgd",
+    distill_params=dict(
+        student_channels=[256], teacher_channels=[256],
+        spatial_t=0.5, spatial_student_ratio=1.0, channel_t=0.5,
+        fg_feat_loss_weights=[3e-3], bg_feat_loss_weights=[4e-2],
+        channel_loss_weights=[0.25], spatial_loss_weights=[1e-3],
+        adaptation_type="1x1conv",
+        student_adaptation_params=dict(kernel_size=1, stride=1),
+        teacher_adaptation_type="identity",
+        teacher_adaptation_params=dict(kernel_size=4, stride=4),
+        spatial_attentions=["teacher"],
+        feat_criterion=dict(type="MSELoss", reduction="none"),
+        spatial_criterion=dict(type="L1Loss", reduction="none"),
+        channel_criterion=dict(type="L1Loss", reduction="none"),
+        transpose_mask=False, foreground_mask="gt",
+        background_mask="logical_not", scale_mask="combine_gt",
+        spatial_mask=True, channel_mask=True,
+        student_feat_pos=["head"], teacher_feat_pos=["head"],
+        two_stage_epoch=-1, affinity_weights=[0], affinity_mode="none",
+        affinity_attention_topk=1000,
+        affinity_criterion=dict(type="SmoothL1Loss"), affinity_split=1,
+        non_empty_weight=0, output_threshold=0.1,
+        groundtruth_threshold=None, fp_as_foreground="none",
+        fp_weight=0, fp_epoch=0, multi_scale_epoch=-1,
+        fp_scale_mode="average", gauss_fg_weight=-1e10,
+        context_length=0, context_weight=0,
+        hs_weight=0, query_weight=0),
+    use_grid_mask=True,
+    video_test_mode=True,
+    img_backbone=dict(type="ResNet", depth=50, num_stages=4,
+                      out_indices=(1, 2, 3), frozen_stages=1,
+                      norm_cfg=dict(type="BN", requires_grad=False),
+                      norm_eval=True),
+    img_neck=dict(type="FPN", in_channels=[512, 1024, 2048],
+                  out_channels=_dim_, start_level=0,
+                  add_extra_convs="on_output", num_outs=4,
+                  relu_before_extra_convs=True),
+    pts_bbox_head=dict(
+        type="BEVFormerHead", bev_h=bev_h_, bev_w=bev_w_, num_query=900,
+        num_classes=10, embed_dims=_dim_, pc_range=point_cloud_range,
+        real_h=102.4, real_w=102.4, with_box_refine=True,
+        code_weights=[1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2, 0.2],
+        transformer=dict(
+            type="PerceptionTransformer", embed_dims=_dim_, num_cams=6,
+            num_feature_levels=4, rotate_prev_bev=True, use_shift=True,
+            use_can_bus=True,
+            encoder=dict(num_layers=6, pc_range=point_cloud_range,
+                         num_points_in_pillar=4, embed_dims=_dim_,
+                         num_heads=8, feedforward_channels=_ffn_dim_,
+                         num_levels=4, num_cams=6),
+            decoder=dict(num_layers=6, embed_dims=_dim_, num_heads=8,
+                         feedforward_channels=_ffn_dim_,
+                         return_intermediate=True)),
+        positional_encoding=dict(num_feats=_dim_ // 2,
+                                 row_num_embed=bev_h_,
+                                 col_num_embed=bev_w_),
+        bbox_coder=dict(
+            type="NMSFreeCoder",
+            post_center_range=[-61.2, -61.2, -10.0, 61.2, 61.2, 10.0],
+            pc_range=point_cloud_range, max_num=300, num_classes=10),
+        loss_cls=dict(type="FocalLoss", use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, reduction="mean", loss_weight=2.0),
+        loss_bbox=dict(type="L1Loss", reduction="mean",
+                       loss_weight=0.25)),
+    train_cfg=dict(pts=dict(
+        grid_size=[bev_h_, bev_w_, 1],
+        voxel_size=[102.4 / bev_h_, 102.4 / bev_w_, 8],
+        point_cloud_range=point_cloud_range, out_size_factor=1)),
+    test_cfg=dict(pts=dict()),
+)
+
+data = dict(samples_per_gpu=1, workers_per_gpu=4)
+
+optimizer = dict(
+    type="AdamW", lr=2e-4, weight_decay=0.01,
+    paramwise_cfg=dict(custom_keys={
+        "backbone": dict(lr_mult=0.1),
+    }))
+optimizer_config = dict(grad_clip=dict(max_norm=35, norm_type=2))
+lr_config = dict(policy="CosineAnnealing", warmup="linear",
+                 warmup_iters=500, warmup_ratio=1.0 / 3,
+                 min_lr_ratio=1e-3)
+runner = dict(type="EpochBasedRunner", max_epochs=24)
+evaluation = dict(interval=4)
