@@ -189,9 +189,17 @@ def make_example_batch(batch_size: int = 1, n_points: int = MAX_POINTS,
     from ..models.detectors.bevdet import ImgInputs
     from ..training.train_step import DistillBatch
 
+    import jax
+
     rng = np.random.RandomState(seed)
     h, w = img_hw
-    imgs = rng.rand(batch_size, 2 * n_cams, h, w, 3).astype(dtype)
+    # generate the (multi-GB at flagship size) image tensor on the
+    # default device — pushing it through a remote-device transport
+    # dominates wall time otherwise
+    imgs = jax.jit(
+        lambda k: jax.random.uniform(
+            k, (batch_size, 2 * n_cams, h, w, 3), dtype))(
+        jax.random.PRNGKey(seed))
     intr = np.array([[1266.0, 0.0, 816.0], [0.0, 1266.0, 491.0],
                      [0.0, 0.0, 1.0]], np.float32)
     # image-aug post transform: resize 1600x900 -> 704x396, crop to 256

@@ -11,6 +11,8 @@ from .backbones import resnet  # noqa: F401
 from .necks import second_fpn  # noqa: F401
 from .necks import fpn  # noqa: F401
 from .necks import view_transformer  # noqa: F401
+from .necks import view_transformer_reproduce  # noqa: F401
+from .backbones import swin  # noqa: F401
 from .dense_heads import centerpoint_head  # noqa: F401
 from .detectors import centerpoint  # noqa: F401
 from .detectors import bevdet  # noqa: F401

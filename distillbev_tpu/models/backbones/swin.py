@@ -1,0 +1,173 @@
+"""Swin Transformer image backbone.
+
+Capability parity with the reference's optional Swin backbones
+(reference: mmdet3d/models/backbones/swin.py (847 LoC) and
+swin_transformer_official.py — window attention with relative position
+bias, shifted windows, patch merging, per-stage outputs with LN).
+
+TPU-native: windows fold into the batch axis (one big batched attention
+per block — MXU friendly); the shifted-window attention mask is a static
+constant computed at trace time.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..builder import BACKBONES
+
+
+def window_partition(x, ws: int):
+    """[B, H, W, C] -> [B*nW, ws*ws, C]"""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+
+
+def window_reverse(windows, ws: int, h: int, w: int):
+    b = windows.shape[0] // ((h // ws) * (w // ws))
+    x = windows.reshape(b, h // ws, w // ws, ws, ws, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
+
+
+def _relative_position_index(ws: int) -> np.ndarray:
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws),
+                                  indexing="ij")).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0) + (ws - 1)
+    return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)
+
+
+def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """Static attention mask for shifted windows: [nW, ws*ws, ws*ws]."""
+    img_mask = np.zeros((1, h, w, 1), np.int32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wss in (slice(0, -ws), slice(-ws, -shift),
+                    slice(-shift, None)):
+            img_mask[:, hs, wss, :] = cnt
+            cnt += 1
+    mw = img_mask.reshape(1, h // ws, ws, w // ws, ws, 1)
+    mw = mw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws)
+    attn_mask = (mw[:, None, :] != mw[:, :, None])
+    return np.where(attn_mask, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        b_, n, c = x.shape
+        ws = self.window_size
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(self.dim * 3, name="qkv")(x)
+        qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim)
+        q, k, v = (qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+        q = q * (head_dim ** -0.5)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                          preferred_element_type=jnp.float32)
+        rpb_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws - 1) ** 2, self.num_heads))
+        idx = jnp.asarray(_relative_position_index(ws))
+        bias = rpb_table[idx.reshape(-1)].reshape(
+            n, n, self.num_heads).transpose(2, 0, 1)
+        attn = attn + bias[None]
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b_ // nw, nw, self.num_heads, n, n) + \
+                mask[None, :, None]
+            attn = attn.reshape(b_, self.num_heads, n, n)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(b_, n, self.dim)
+        return nn.Dense(self.dim, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int = 7
+    shift: int = 0
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        ws = min(self.window_size, h, w)
+        shift = self.shift if ws < min(h, w) else 0
+        shortcut = x
+        x = nn.LayerNorm(name="norm1")(x)
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(_shift_attn_mask(h, w, ws, shift))
+        else:
+            mask = None
+        windows = window_partition(x, ws)
+        attn = WindowAttention(self.dim, self.num_heads, ws,
+                               name="attn")(windows, mask)
+        x = window_reverse(attn, ws, h, w)
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        x = shortcut + x
+        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.dim, name="fc2")(y)
+        return x + y
+
+
+@BACKBONES.register_module()
+class SwinTransformer(nn.Module):
+    embed_dims: int = 96
+    patch_size: int = 4
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    frozen_stages: int = -1
+    pretrained: Any = None
+    init_cfg: Any = None
+    convert_weights: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
+        p = self.patch_size
+        b, h, w, _ = x.shape
+        # patch embed
+        x = nn.Conv(self.embed_dims, (p, p), strides=(p, p),
+                    name="patch_embed")(x)
+        x = nn.LayerNorm(name="patch_norm")(x)
+        outs = []
+        dim = self.embed_dims
+        for i, depth in enumerate(self.depths):
+            for j in range(depth):
+                x = SwinBlock(dim, self.num_heads[i],
+                              window_size=self.window_size,
+                              shift=0 if j % 2 == 0 else
+                              self.window_size // 2,
+                              mlp_ratio=self.mlp_ratio,
+                              name=f"stage{i}_block{j}")(x, train=train)
+            if i in self.out_indices:
+                outs.append(nn.LayerNorm(name=f"out_norm{i}")(x))
+            if i < len(self.depths) - 1:
+                # patch merging
+                b_, h_, w_, c_ = x.shape
+                x = x.reshape(b_, h_ // 2, 2, w_ // 2, 2, c_)
+                x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    b_, h_ // 2, w_ // 2, 4 * c_)
+                x = nn.LayerNorm(name=f"merge_norm{i}")(x)
+                x = nn.Dense(2 * c_, use_bias=False,
+                             name=f"merge_reduce{i}")(x)
+                dim *= 2
+        return tuple(outs)

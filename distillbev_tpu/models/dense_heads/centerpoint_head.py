@@ -62,6 +62,53 @@ class SeparateHead(nn.Module):
         return out
 
 
+
+
+class DCNSeparateHead(nn.Module):
+    """SeparateHead with a feature-adaptation stage before the branches
+    (reference: centerpoint_head.py:125-243 — DCN feature adaptation for
+    heatmap and regression paths; the deformable conv is a plain 3x3 conv
+    here, same stand-in as the view transformers)."""
+    heads: Any
+    head_conv: int = 64
+    final_kernel: int = 3
+    init_bias: float = -2.19
+    norm_cfg: Any = None
+    num_cls: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        feat_adapt = ConvModule(x.shape[-1], 3, padding=1,
+                                norm_cfg=self.norm_cfg or dict(type="BN"),
+                                name="feature_adapt_cls")(x, train=train)
+        reg_adapt = ConvModule(x.shape[-1], 3, padding=1,
+                               norm_cfg=self.norm_cfg or dict(type="BN"),
+                               name="feature_adapt_reg")(x, train=train)
+        out = {}
+        hm = ConvModule(self.head_conv, 3, padding=1,
+                        norm_cfg=self.norm_cfg or dict(type="BN"),
+                        name="cls_conv")(feat_adapt, train=train)
+        out["heatmap"] = nn.Conv(
+            dict(self.heads).get("heatmap", (self.num_cls, 2))[0],
+            (self.final_kernel,) * 2,
+            padding=((self.final_kernel // 2,) * 2,) * 2,
+            bias_init=nn.initializers.constant(self.init_bias),
+            name="cls_out")(hm)
+        for name, (out_ch, num_conv) in dict(self.heads).items():
+            if name == "heatmap":
+                continue
+            y = reg_adapt
+            for i in range(num_conv - 1):
+                y = ConvModule(self.head_conv, 3, padding=1,
+                               norm_cfg=self.norm_cfg or dict(type="BN"),
+                               name=f"{name}_conv{i}")(y, train=train)
+            out[name] = nn.Conv(
+                out_ch, (self.final_kernel,) * 2,
+                padding=((self.final_kernel // 2,) * 2,) * 2,
+                name=f"{name}_out")(y)
+        return out
+
+
 @HEADS.register_module()
 class CenterHead(nn.Module):
     in_channels: int = 384
@@ -107,12 +154,15 @@ class CenterHead(nn.Module):
                        norm_cfg=self.norm_cfg or dict(type="BN"),
                        name="shared_conv")(x, train=train)
         sep = dict(self.separate_head or {})
-        sep.pop("type", None)
+        sep_type = sep.pop("type", "SeparateHead")
+        sep_cls = DCNSeparateHead if sep_type == "DCNSeparateHead" \
+            else SeparateHead
+        sep.pop("dcn_config", None)
         outs = []
         for tid, task in enumerate(self.tasks):
             heads = {k: tuple(v) for k, v in dict(self.common_heads).items()}
             heads["heatmap"] = (task["num_class"], 2)
-            outs.append(SeparateHead(
+            outs.append(sep_cls(
                 heads=heads, head_conv=self.share_conv_channel,
                 norm_cfg=self.norm_cfg,
                 name=f"task_{tid}", **sep)(x, train=train))

@@ -256,3 +256,21 @@ class BEVDepth4D(_BEVDetBase):
         return depth_bce_loss(depth_logits, depth_gt,
                               dict(vt.grid_config)["dbound"],
                               vt.loss_depth_weight)
+
+
+@DETECTORS.register_module()
+class BEVDet4D(BEVDepth4D):
+    """2-frame BEVDet without depth supervision (reference
+    bevdet.py BEVDetSequentialES / bevdet_distill_more.py
+    BEVDet4DDistill base): identical temporal pipeline; pair it with a
+    depth-free view transformer."""
+
+
+@DETECTORS.register_module(name="BEVDetSequential")
+class BEVDetSequential(BEVDepth4D):
+    """Config-name alias (reference bevdet.py:188)."""
+
+
+@DETECTORS.register_module(name="BEVDetSequentialES")
+class BEVDetSequentialES(BEVDepth4D):
+    """Config-name alias (reference bevdet.py:260)."""
