@@ -38,8 +38,10 @@ def main():
                          lr, svars["params"], grad_clip=dict(max_norm=5))
     state = init_train_state(svars["params"],
                              svars.get("batch_stats", {}), tx)
-    step_fn = jax.jit(make_distill_train_step(student, teacher, tx),
-                      donate_argnums=(0,))
+    mixed = os.environ.get("BENCH_PRECISION", "bf16") == "bf16"
+    step_fn = jax.jit(make_distill_train_step(
+        student, teacher, tx, mixed_precision=mixed),
+        donate_argnums=(0,))
 
     epoch = jnp.float32(1.0)
     # warmup (compile; sync via host value — block_until_ready on this

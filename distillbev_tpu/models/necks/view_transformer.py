@@ -148,7 +148,8 @@ class ViewTransformerLiftSplatShoot(nn.Module):
         volume = depth[..., None] * img_feat[..., None, :]
         volume = volume.reshape(b, n, fh, fw, geo.D, self.numC_Trans)
         volume = volume.transpose(0, 1, 4, 2, 3, 5)    # [B,N,D,fh,fw,C]
-        return geo.splat(geom, volume)
+        # splat accumulates fp32; continue downstream in the compute dtype
+        return geo.splat(geom, volume).astype(img_feat.dtype)
 
 
 class SELikeModule(nn.Module):
@@ -232,7 +233,7 @@ class ViewTransformerLSSBEVDepth(nn.Module):
         volume = depth[..., None] * img_feat[..., None, :]
         volume = volume.reshape(b, n, fh, fw, geo.D, self.numC_Trans)
         volume = volume.transpose(0, 1, 4, 2, 3, 5)
-        bev = geo.splat(geom, volume)
+        bev = geo.splat(geom, volume).astype(img_feat.dtype)
         return bev, depth_logits.reshape(b, n, fh, fw, geo.D)
 
 

@@ -83,29 +83,61 @@ def make_detector_train_step(model, tx) -> Callable:
     return train_step
 
 
+def _half(tree):
+    """fp32 -> bf16 for compute (weights/activations); scalars stay."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 and
+        x.ndim >= 1 else x, tree)
+
+
+def _full(tree):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x, tree)
+
+
 def make_distill_train_step(student, teacher, tx,
-                            use_depth_loss: bool = True) -> Callable:
+                            use_depth_loss: bool = True,
+                            mixed_precision: bool = False) -> Callable:
     """Distillation train step: student det loss + depth loss + distill
     losses, teacher frozen (reference BEVDepth4DDistill.forward_train,
-    bevdet_distill_more.py:457-520)."""
+    bevdet_distill_more.py:457-520).
+
+    mixed_precision=True runs forward/backward in bfloat16 (params cast
+    per-step; fp32 master weights live in the optimizer) — the TPU
+    counterpart of the reference's Fp16OptimizerHook + force_fp32
+    boundaries (losses, geometry and BN statistics stay fp32 by
+    construction in our modules)."""
 
     def train_step(state: TrainState, teacher_variables,
                    batch: DistillBatch, epoch: jnp.ndarray):
         gt = gravity_centered(batch.gt_boxes)
+        if mixed_precision:
+            # images to bf16 (the student image path is the FLOPs bulk);
+            # points stay fp32 — voxel coordinates need the mantissa
+            batch = batch._replace(
+                img_inputs=batch.img_inputs._replace(
+                    imgs=batch.img_inputs.imgs.astype(jnp.bfloat16)))
 
         # frozen teacher forward — no grads, XLA overlaps it freely
         t_preds, t_bundle = teacher.apply(
             teacher_variables, batch.points, batch.point_mask,
             train=False)
-        t_preds = jax.lax.stop_gradient(t_preds)
-        t_bundle = jax.lax.stop_gradient(t_bundle)
+        t_preds = jax.lax.stop_gradient(_full(t_preds))
+        t_bundle = jax.lax.stop_gradient(_full(t_bundle))
 
         def loss_fn(params):
-            variables = {"params": params,
+            variables = {"params": _half(params) if mixed_precision
+                         else params,
                          "batch_stats": state.batch_stats}
             (preds, bundle, depth), new_state = student.apply(
                 variables, batch.img_inputs, train=True,
                 mutable=["batch_stats"])
+            if mixed_precision:
+                preds = _full(preds)
+                bundle = _full(bundle)
+                depth = _full(depth) if depth is not None else None
             det_losses, targets = student.apply(
                 variables, preds, gt, batch.gt_labels, batch.gt_mask,
                 True, method=student.head_loss)

@@ -136,3 +136,38 @@ def test_inherit_head_copies_matching(rng):
     assert np.allclose(
         jax.tree_util.tree_leaves(merged["backbone"])[0],
         jax.tree_util.tree_leaves(svars["params"]["backbone"])[0])
+
+
+def test_distill_train_step_mixed_precision(rng, cpu_devices):
+    """bf16 forward/backward with fp32 master weights produces finite
+    losses and fp32 gradients."""
+    import jax.numpy as jnp
+    mesh = make_mesh(cpu_devices[:2])
+    teacher = build_detector(tiny_centerpoint_cfg())
+    pts, mask, gt, labels, gmask = make_batch(rng, b=2, n=64)
+    tvars = teacher.init(jax.random.PRNGKey(1), pts[:1], mask[:1])
+    _, t_bundle = teacher.apply(tvars, pts[:1], mask[:1])
+    student = build_detector(distill_cfg())
+    inputs1 = make_inputs(rng, b=1)
+    svars = student.init(jax.random.PRNGKey(0), inputs1, t_bundle,
+                         method="init_with_teacher")
+    tx = build_optimizer(dict(type="AdamW", lr=2e-4, weight_decay=0.01),
+                         lambda s: 2e-4, svars["params"],
+                         grad_clip=dict(max_norm=5))
+    state = init_train_state(svars["params"],
+                             svars.get("batch_stats", {}), tx)
+    from distillbev_tpu.training import make_distill_train_step
+    step_fn = jax.jit(make_distill_train_step(student, teacher, tx,
+                                              mixed_precision=True))
+    batch = DistillBatch(make_inputs(rng, b=2), pts, mask, gt, labels,
+                         gmask)
+    with mesh:
+        state = replicate(mesh, state)
+        tvars_r = replicate(mesh, tvars)
+        batch = shard_batch(mesh, batch)
+        state, metrics = step_fn(state, tvars_r, batch, jnp.float32(1.0))
+    assert np.isfinite(float(metrics["total_loss"]))
+    # params remain fp32 masters
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(l.dtype == jnp.float32 for l in leaves
+               if hasattr(l, "dtype") and l.ndim >= 1)
