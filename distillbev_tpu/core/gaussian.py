@@ -188,3 +188,28 @@ def gaussian_scale_mask_dense(centers_xy: jnp.ndarray,
         centers_xy, radii, jnp.zeros(centers_xy.shape[0], jnp.int32),
         valid, 1, height, width, k=k)
     return hm[0]
+
+
+def radius_jnp(name: str, height, width, min_overlap: float = 0.5,
+               scale: float = 1.0):
+    """Device dispatcher over the custom radius functions (reference
+    gaussian.py:91-123) for batched mask generation."""
+    b1 = height + width
+    if name in ("centerpoint1", "centerpoint_radius_func1"):
+        c1 = width * height * (1 - min_overlap) / (1 + min_overlap)
+        return (b1 + jnp.sqrt(jnp.maximum(b1 ** 2 - 4 * c1, 0.0))) / 2
+    if name in ("centerpoint2", "centerpoint_radius_func2"):
+        b2 = 2 * b1
+        c2 = (1 - min_overlap) * width * height
+        return (b2 + jnp.sqrt(jnp.maximum(b2 ** 2 - 16 * c2, 0.0))) / 8
+    if name in ("centerpoint3", "centerpoint_radius_func3"):
+        a3 = 4 * min_overlap
+        b3 = -2 * min_overlap * b1
+        c3 = (min_overlap - 1) * width * height
+        return (b3 + jnp.sqrt(jnp.maximum(b3 ** 2 - 4 * a3 * c3,
+                                          0.0))) / (2 * a3)
+    if name in ("maxwh", "maxwh_radius_func"):
+        return jnp.maximum(height, width) * scale
+    if name == "gaussian_radius":
+        return gaussian_radius_jnp(height, width, min_overlap)
+    raise NotImplementedError(name)

@@ -1,1 +1,1 @@
-from . import loading, transforms_3d, formating  # noqa: F401
+from . import loading, transforms_3d, formating, test_time_aug  # noqa: F401

@@ -28,3 +28,4 @@ from .transformer import perception_transformer as _pt  # noqa: F401
 from .dense_heads import bevformer_head  # noqa: F401
 from .detectors import lidarformer  # noqa: F401
 from .detectors import bevformer  # noqa: F401
+from .detectors import mvx_two_stage  # noqa: F401

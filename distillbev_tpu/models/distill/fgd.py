@@ -228,8 +228,45 @@ class Distiller(nn.Module):
             context_length=p.get("context_length", 0),
             context_weight=p.get("context_weight", 0),
             center_offset=self.center_offset)
-        assert p.get("foreground_mask", "gt") == "gt", \
-            "gauss-family FG masks: use gauss_fg variants (round 2)"
+        fg_mode = p.get("foreground_mask", "gt")
+        fg_scale2 = None
+        if fg_mode != "gt":
+            # gauss-family extended FG masks (reference
+            # bevdet_distill.py:1019-1078)
+            rf = {"centerpoint1": "centerpoint1",
+                  "centerpoint2": "centerpoint2",
+                  "centerpoint3": "centerpoint3",
+                  "maxwh": "maxwh"}.get(
+                p.get("custom_radius_func", "centerpoint2"),
+                "centerpoint2")
+            fg2, fg_scale2 = M.extended_foreground_masks(
+                gt_boxes, gt_mask, h, w, tc["voxel_size"],
+                tc["point_cloud_range"], tc["grid_size"],
+                radius_func=rf,
+                radius_scale=p.get("custom_radius_scale", 1.0),
+                gaussian_overlap=tc.get("gaussian_overlap", 0.1),
+                min_radius=tc.get("min_radius", 2))
+            if fg_mode == "gauss":
+                fg_mask = fg2
+            elif fg_mode == "extended_binary":
+                fg_mask = (fg2 != 0).astype(jnp.float32)
+            elif fg_mode == "gauss_plus_extended_binary":
+                fg_mask = fg2 + (fg2 != 0).astype(jnp.float32)
+            elif fg_mode == "gauss_plus_extended_binary_clamp":
+                fg_mask = jnp.clip(
+                    fg2 + (fg2 != 0).astype(jnp.float32), 0.0, 1.0)
+            elif fg_mode == "gauss_plus_binary_clamp":
+                fg_mask = jnp.clip(
+                    p.get("gauss_fg_weight", 1.0) * fg2 +
+                    (fg_mask != 0).astype(jnp.float32), 0.0, 1.0)
+            elif fg_mode == "gauss_in_gt":
+                fg_mask = fg_mask * fg2
+            elif fg_mode == "negative_linear_gauss_in_gt":
+                fg2b = fg2 + w_bg / w_fg * (1 - fg2)
+                fg_mask = fg_mask * fg2b
+            else:
+                raise NotImplementedError(fg_mode)
+            fg_mask = jax.lax.stop_gradient(fg_mask)
 
         t_att = M.spatial_attention(teacher_feat, s_t)
         s_att = M.spatial_attention(student_feat, s_t)
@@ -311,6 +348,13 @@ class Distiller(nn.Module):
             bg_m = bg_m * scale
         elif scale_mode == "separate_gt":
             fg_m = fg_m * fg_scale
+            bg_m = bg_m * bg_scale
+        elif scale_mode == "combine_extend":
+            scale = jnp.maximum(fg_scale2, bg_scale)
+            fg_m = fg_m * scale
+            bg_m = bg_m * scale
+        elif scale_mode == "separate_extend":
+            fg_m = fg_m * fg_scale2
             bg_m = bg_m * bg_scale
         elif scale_mode == "bg_only":
             fg_m = fg_m * bg_scale

@@ -253,3 +253,54 @@ def non_empty_background(canvas: jnp.ndarray, fg_mask: jnp.ndarray
     ne = resize_mask(cmax, (h, w))
     return jax.lax.stop_gradient(
         ((fg_mask == 0) & (ne != 0)).astype(jnp.float32))
+
+
+def extended_foreground_masks(gt_boxes: jnp.ndarray,
+                              gt_mask: jnp.ndarray,
+                              h: int, w: int,
+                              voxel_size, pc_range, grid_size,
+                              radius_func: str = "centerpoint2",
+                              radius_scale: float = 1.0,
+                              gaussian_overlap: float = 0.1,
+                              min_radius: int = 2):
+    """Gauss-family extended FG mask + draw_scale mask.
+
+    Reference: bevdet_distill.py:1019-1078 — get_targets_single with a
+    custom radius func gives per-class gaussians whose channel max is the
+    extended FG mask (foreground_mask2), and ``draw_scale``
+    (bevdet_distill.py:135-151) writes max(1/ceil(l*w)) inside each
+    object's square radius patch (fg_scale_mask2).
+
+    Returns (fg2 [B, H, W], fg_scale2 [B, H, W]).
+    """
+    from ...core.gaussian import gaussian_scale_mask_dense, radius_jnp
+    assert grid_size[0] % w == 0
+    osf = grid_size[0] // w
+    cx = (gt_boxes[..., 0] - pc_range[0]) / voxel_size[0] / osf
+    cy = (gt_boxes[..., 1] - pc_range[1]) / voxel_size[1] / osf
+    dxf = gt_boxes[..., 3] / voxel_size[0] / osf
+    dyf = gt_boxes[..., 4] / voxel_size[1] / osf
+    radius = radius_jnp(radius_func, dyf, dxf, gaussian_overlap,
+                        radius_scale)
+    radius = jnp.maximum(radius, float(min_radius))
+
+    def per_sample(c_xy, r, ok, dx, dy):
+        fg2 = gaussian_scale_mask_dense(c_xy, r, ok, h, w)
+        # draw_scale: inside each object's radius patch, at least
+        # 1/ceil(area) (max-composed over objects)
+        area = jnp.ceil(jnp.maximum(dx * dy, 1e-6))
+        value = 1.0 / area
+        ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+        xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+        cxi = jnp.floor(c_xy[:, 0]).astype(jnp.float32)
+        cyi = jnp.floor(c_xy[:, 1]).astype(jnp.float32)
+        r_int = jnp.floor(r)
+        inpatch = ((jnp.abs(xs[None] - cxi[:, None, None]) <=
+                    r_int[:, None, None]) &
+                   (jnp.abs(ys[None] - cyi[:, None, None]) <=
+                    r_int[:, None, None]) & ok[:, None, None])
+        per_obj = jnp.where(inpatch, value[:, None, None], 0.0)
+        return fg2, per_obj.max(axis=0)
+
+    return jax.vmap(per_sample)(
+        jnp.stack([cx, cy], -1), radius, gt_mask, dxf, dyf)
