@@ -164,6 +164,12 @@ def train_model(cfg, work_dir: str, resume_from: Optional[str] = None,
             start_epoch = (meta or {}).get("epoch", 0)
             logger.info(f"resumed from epoch {start_epoch}")
 
+    from ..utils.observability import MetricsWriter, StepTimer
+    writer = MetricsWriter(osp.join(work_dir, "tb"))
+    timer = StepTimer()
+    log_interval = dict(cfg.get("log_config", {})).get("interval", 50)
+    eval_interval = dict(cfg.get("evaluation", {})).get("interval", 0)
+
     with mesh:
         state = replicate(mesh, state)
         if tvars is not None:
@@ -172,7 +178,6 @@ def train_model(cfg, work_dir: str, resume_from: Optional[str] = None,
         for epoch in range(start_epoch, max_epochs):
             loader.set_epoch(epoch)
             epoch_val = jnp.float32(epoch)
-            t_start = time.time()
             for i, raw in enumerate(loader):
                 if i >= steps_per_epoch:
                     break
@@ -181,17 +186,40 @@ def train_model(cfg, work_dir: str, resume_from: Optional[str] = None,
                     family))
                 state, metrics = step_fn(state, tvars, batch, epoch_val)
                 step += 1
-                if step % cfg.get("log_config", {}).get("interval",
-                                                        50) == 0:
-                    loss = float(metrics["total_loss"])
-                    dt = (time.time() - t_start) / max(i + 1, 1)
+                dt = timer.tick()
+                if step % log_interval == 0:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    host["lr"] = float(lr_sched(step))
+                    writer.write(host, step, epoch=epoch)
                     logger.info(
                         f"epoch {epoch} step {i}/{steps_per_epoch} "
-                        f"loss {loss:.4f} ({dt:.2f}s/it)")
+                        f"loss {host['total_loss']:.4f} "
+                        f"({(dt or 0):.2f}s/it)")
             ckpt.save(epoch, jax.device_get(state),
                       meta=dict(epoch=epoch + 1))
+            if eval_interval and (epoch + 1) % eval_interval == 0 and                     "val" in cfg.data:
+                logger.info(f"epoch {epoch}: running eval")
+                try:
+                    _run_interval_eval(cfg, model, state, family, logger)
+                except Exception as e:
+                    logger.warning(f"eval failed: {e}")
         ckpt.wait()
+    writer.close()
     return state
+
+
+def _run_interval_eval(cfg, model, state, family, logger):
+    import jax
+    from ..datasets import build_dataset, build_dataloader
+    from .test import run_eval, evaluate_results
+    val_ds = build_dataset(cfg.data["val"])
+    val_loader = build_dataloader(val_ds, 1, 2, shuffle=False)
+    variables = {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)}
+    results = run_eval(model, variables, val_ds, val_loader,
+                       family="img" if family == "distill" else family,
+                       logger=logger)
+    evaluate_results(val_ds, results, logger=logger)
 
 
 def _load_any_checkpoint(path: str, template):
