@@ -88,7 +88,13 @@ def train_model(cfg, work_dir: str, resume_from: Optional[str] = None,
     model = build_detector(model_cfg, cfg.get("train_cfg"),
                            cfg.get("test_cfg"))
 
-    mesh = make_mesh()
+    # data mesh over as many devices as evenly divide the batch
+    batch_size = cfg.data["samples_per_gpu"]
+    devices = jax.devices()
+    n_dev = len(devices)
+    while n_dev > 1 and batch_size % n_dev != 0:
+        n_dev -= 1
+    mesh = make_mesh(devices[:n_dev])
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
 
     teacher = None
