@@ -30,13 +30,21 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 def normalize_img(img: np.ndarray, bevdepth_norm: bool = False
                   ) -> np.ndarray:
-    """uint8 HWC -> normalized float32 HWC."""
-    x = np.asarray(img, np.float32)
+    """uint8 HWC -> normalized float32 HWC (native C++ fast path when
+    built, numpy otherwise — distillbev_tpu/native)."""
+    arr = np.asarray(img)
     if bevdepth_norm:
         mean = np.array([123.675, 116.28, 103.53], np.float32)
         std = np.array([58.395, 57.12, 57.375], np.float32)
-        return (x - mean) / std
-    return (x / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        scale = 1.0
+    else:
+        mean, std, scale = IMAGENET_MEAN, IMAGENET_STD, 1.0 / 255.0
+    if arr.dtype == np.uint8 and arr.ndim == 3 and arr.shape[-1] == 3:
+        from ... import native
+        if native.available():
+            return native.normalize_images(arr[None], mean, std,
+                                           scale)[0]
+    return (arr.astype(np.float32) * scale - mean) / std
 
 
 def _rot2(h: float) -> np.ndarray:
@@ -363,19 +371,62 @@ class LoadPointsFromMultiSweeps:
     def __init__(self, sweeps_num: int = 10, load_dim: int = 5,
                  use_dim=(0, 1, 2, 4), pad_empty_sweeps: bool = False,
                  remove_close: bool = False, test_mode: bool = False,
-                 file_client_args=None, virtual: bool = False):
+                 file_client_args=None, virtual: bool = False,
+                 use_native: bool = False, native_max_points: int = 0):
         self.sweeps_num = sweeps_num
         self.load_dim = load_dim
         self.use_dim = list(use_dim)
         self.pad_empty_sweeps = pad_empty_sweeps
         self.remove_close = remove_close
         self.test_mode = test_mode
+        self.use_native = use_native
+        self.native_max_points = native_max_points
 
     def _remove_close(self, pts: np.ndarray, radius: float = 1.0):
         return pts[(np.abs(pts[:, 0]) >= radius) |
                    (np.abs(pts[:, 1]) >= radius)]
 
+    def _native_call(self, results):
+        """Fused C++ load+transform+concat across key frame + sweeps
+        (distillbev_tpu/native); returns None when ineligible."""
+        from ... import native
+        sweeps = results.get("sweeps", [])
+        key_path = results.get("pts_filename", "")
+        if not (native.available() and key_path.endswith(".bin") and
+                all(s.get("data_path", "").endswith(".bin")
+                    for s in sweeps)):
+            return None
+        if len(sweeps) > self.sweeps_num:
+            if self.test_mode:
+                choices = list(range(self.sweeps_num))
+            else:
+                choices = list(np.random.choice(
+                    len(sweeps), self.sweeps_num, replace=False))
+            sweeps = [sweeps[i] for i in choices]
+        paths = [key_path] + [s["data_path"] for s in sweeps]
+        rots = [np.eye(3, dtype=np.float32)] + [
+            np.asarray(s["sensor2lidar_rotation"], np.float32)
+            for s in sweeps]
+        trans = [np.zeros(3, np.float32)] + [
+            np.asarray(s["sensor2lidar_translation"], np.float32)
+            for s in sweeps]
+        ts = results["timestamp"]
+        lags = [0.0] + [ts - s["timestamp"] / 1e6 for s in sweeps]
+        max_pts = self.native_max_points or             (1 + len(sweeps)) * 40_000
+        out, n = native.aggregate_sweeps(
+            paths, np.stack(rots), np.stack(trans),
+            np.asarray(lags, np.float32), self.load_dim, self.use_dim,
+            max_pts,
+            remove_close=1.0 if self.remove_close else 0.0)
+        results["points"] = LiDARPoints(out[:n],
+                                        points_dim=out.shape[-1])
+        return results
+
     def __call__(self, results):
+        if self.use_native:
+            out = self._native_call(results)
+            if out is not None:
+                return out
         points = results["points"]
         pts = points.tensor
         # key frame gets a zero time-lag column
