@@ -145,8 +145,20 @@ def train_model(cfg, work_dir: str, resume_from: Optional[str] = None,
                                  total_steps, steps_per_epoch)
     grad_clip = dict(cfg.optimizer_config).get("grad_clip") \
         if "optimizer_config" in cfg else None
+    momentum_sched = None
+    if "momentum_config" in cfg and cfg.momentum_config:
+        mc = dict(cfg.momentum_config)
+        if mc.get("policy", "").lower() == "cyclic":
+            from ..training.schedules import cyclic_momentum
+            momentum_sched = cyclic_momentum(
+                base_momentum=opt_cfg.get("betas", (0.9, 0.999))[0],
+                total_steps=total_steps,
+                target_ratio=mc.get("target_ratio", (0.85 / 0.95, 1)),
+                cyclic_times=mc.get("cyclic_times", 1),
+                step_ratio_up=mc.get("step_ratio_up", 0.4))
     tx = build_optimizer(opt_cfg, lr_sched, variables["params"],
-                         grad_clip=grad_clip)
+                         grad_clip=grad_clip,
+                         momentum_schedule=momentum_sched)
     state = init_train_state(variables["params"],
                              variables.get("batch_stats", {}), tx)
 

@@ -21,6 +21,7 @@ from .distill import fgd as _fgd  # noqa: F401
 from .distill import masks as distill_masks  # noqa: F401
 from .voxel_encoders import voxel_encoder  # noqa: F401
 from .middle_encoders import sparse_encoder  # noqa: F401
+from .middle_encoders import sparse_unet  # noqa: F401
 from .transformer import attention as _attn  # noqa: F401
 from .transformer import encoder as _enc  # noqa: F401
 from .transformer import decoder as _dec  # noqa: F401

@@ -263,3 +263,43 @@ def sparse_to_dense(sp: SparseTensor) -> jnp.ndarray:
     dense = jnp.zeros((b * zz * yy * xx + 1, c), sp.feats.dtype)
     dense = dense.at[flat].set(sp.feats, mode="drop")
     return dense[:-1].reshape(b, zz, yy, xx, c)
+
+
+@partial(jax.jit, static_argnames=("down_spatial_shape", "kernel_size",
+                                   "stride", "padding"))
+def build_inverse_conv_plan(up_coords: jnp.ndarray,
+                            up_valid: jnp.ndarray,
+                            down_coords: jnp.ndarray,
+                            down_valid: jnp.ndarray,
+                            down_spatial_shape: Tuple[int, int, int],
+                            kernel_size: Tuple[int, int, int],
+                            stride: Tuple[int, int, int],
+                            padding: Tuple[int, int, int]) -> jnp.ndarray:
+    """Gather table for SparseInverseConv3d: restore a finer site set
+    from its strided-conv downsampling (reference: ops/spconv/conv.py
+    SparseInverseConv3d via stored indice pairs).
+
+    For each fine (up) site and kernel offset k, the contributing coarse
+    site is (up + pad - k) / stride when exact.  Returns [N_up, K] rows
+    into the coarse array; miss = N_down.
+    """
+    n_down = down_coords.shape[0]
+    offs = jnp.asarray(_kernel_offsets(kernel_size))
+    st = jnp.asarray(stride, jnp.int32)
+    pd = jnp.asarray(padding, jnp.int32)
+    dz, dy, dx = down_spatial_shape
+    keys_down = _flat_key(down_coords, down_valid, down_spatial_shape)
+    sorted_keys, sorted_pos = jax.lax.sort_key_val(
+        keys_down, jnp.arange(n_down, dtype=jnp.int32))
+    num = up_coords[:, None, 1:4] + pd[None, None] - offs[None]
+    dc = num // st[None, None]
+    exact = (dc * st[None, None] == num)
+    ok = (exact.all(-1) &
+          (dc[..., 0] >= 0) & (dc[..., 0] < dz) &
+          (dc[..., 1] >= 0) & (dc[..., 1] < dy) &
+          (dc[..., 2] >= 0) & (dc[..., 2] < dx) & up_valid[:, None])
+    b = up_coords[:, None, 0]
+    q = ((b * dz + dc[..., 0]) * dy + dc[..., 1]) * dx + dc[..., 2]
+    q = jnp.where(ok, q, jnp.iinfo(jnp.int32).max)
+    return _lookup(sorted_keys, sorted_pos, q.reshape(-1),
+                   n_down).reshape(up_coords.shape[0], -1)

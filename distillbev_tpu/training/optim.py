@@ -53,11 +53,22 @@ def build_optimizer(optimizer_cfg: dict,
             return lr_schedule(step) * mult
 
         if opt_type == "adamw":
+            if momentum_schedule is not None:
+                # cyclic momentum rides on b1 (reference
+                # CyclicMomentumUpdaterHook on Adam betas[0])
+                return optax.inject_hyperparams(optax.adamw)(
+                    learning_rate=scaled_lr, b1=momentum_schedule,
+                    b2=betas[1], eps=eps, weight_decay=weight_decay)
             return optax.adamw(scaled_lr, b1=betas[0], b2=betas[1],
                                eps=eps, weight_decay=weight_decay)
         if opt_type == "adam":
             return optax.adam(scaled_lr, b1=betas[0], b2=betas[1], eps=eps)
         if opt_type == "sgd":
+            if momentum_schedule is not None:
+                return optax.inject_hyperparams(optax.sgd)(
+                    learning_rate=scaled_lr,
+                    momentum=momentum_schedule,
+                    nesterov=cfg.get("nesterov", False))
             return optax.sgd(scaled_lr,
                              momentum=cfg.get("momentum", 0.9),
                              nesterov=cfg.get("nesterov", False))

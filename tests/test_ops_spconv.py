@@ -125,3 +125,58 @@ class TestSparseConv:
         out = sparse_conv(sp, w, (3, 3, 3), (2, 2, 2), (1, 1, 1), 16)
         assert not bool(np.asarray(out.valid).any())
         assert np.allclose(np.asarray(out.feats), 0)
+
+
+class TestInverseConv:
+
+    def test_inverse_plan_roundtrip(self, rng):
+        """down = sparse_conv(up); inverse plan must find, for each up
+        site, exactly the down sites whose receptive field covers it."""
+        from distillbev_tpu.ops.spconv import build_inverse_conv_plan
+        sp = make_sparse(rng, 1, (4, 4, 4), 20, 24, 2)
+        w = rng.randn(27, 2, 3).astype(np.float32)
+        down = sparse_conv(sp, jnp.asarray(w), (3, 3, 3), (2, 2, 2),
+                           (1, 1, 1), max_out=64)
+        gidx = np.asarray(build_inverse_conv_plan(
+            sp.coords, sp.valid, down.coords, down.valid,
+            down.spatial_shape, (3, 3, 3), (2, 2, 2), (1, 1, 1)))
+        n_down = down.coords.shape[0]
+        # every valid up site must have at least one contributing down
+        # site (its own output position exists by construction)
+        valid = np.asarray(sp.valid)
+        hits = (gidx < n_down).sum(axis=1)
+        assert (hits[valid] >= 1).all()
+        # cross-check one entry geometrically
+        up_c = np.asarray(sp.coords)
+        down_c = np.asarray(down.coords)
+        i = int(np.where(valid)[0][0])
+        ks = [(dz, dy, dx) for dz in range(3) for dy in range(3)
+              for dx in range(3)]
+        for k, (dz, dy, dx) in enumerate(ks):
+            j = gidx[i, k]
+            if j < n_down:
+                num = up_c[i, 1:] + 1 - np.array([dz, dy, dx])
+                assert (num % 2 == 0).all()
+                assert (down_c[j, 1:] == num // 2).all()
+
+
+class TestSparseUNet:
+
+    def test_forward_shapes(self, rng):
+        import jax
+        from distillbev_tpu.models.builder import build_middle_encoder
+        unet = build_middle_encoder(dict(
+            type="SparseUNet", in_channels=3, sparse_shape=[9, 16, 16],
+            base_channels=4, output_channels=8,
+            encoder_channels=((4,), (8, 8), (8, 8)),
+            encoder_paddings=((1,), (1, 1), (1, 1)),
+            decoder_channels=((8, 8), (8, 4), (4, 4)),
+            decoder_paddings=((1, 0), (1, 0), (0, 1)),
+            max_active=256))
+        sp = make_sparse(rng, 1, (9, 16, 16), 40, 64, 3)
+        variables = unet.init(jax.random.PRNGKey(0), sp.feats, sp.coords,
+                              sp.valid, 1)
+        out = unet.apply(variables, sp.feats, sp.coords, sp.valid, 1)
+        assert out["seg_features"].shape[0] == 64
+        assert out["spatial_features"].ndim == 4
+        assert np.isfinite(np.asarray(out["seg_features"])).all()

@@ -171,3 +171,18 @@ def test_distill_train_step_mixed_precision(rng, cpu_devices):
     leaves = jax.tree_util.tree_leaves(state.params)
     assert all(l.dtype == jnp.float32 for l in leaves
                if hasattr(l, "dtype") and l.ndim >= 1)
+
+
+def test_momentum_schedule_injects():
+    from distillbev_tpu.training.schedules import cyclic_momentum
+    params = {"w": jnp.ones((4,))}
+    msched = cyclic_momentum(0.9, total_steps=100)
+    tx = build_optimizer(dict(type="AdamW", lr=1e-3, weight_decay=0.0),
+                         lambda s: 1e-3, params, momentum_schedule=msched)
+    state = tx.init(params)
+    grads = {"w": jnp.ones((4,))}
+    updates, state = tx.update(grads, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+    assert abs(float(msched(0)) - 0.9) < 1e-6
+    # trough of the cycle: base * 0.85/0.95 at the 40% mark
+    assert abs(float(msched(40)) - 0.9 * 0.85 / 0.95) < 1e-3
