@@ -116,6 +116,9 @@ class ResNetForBEVDet(nn.Module):
             for j in range(n):
                 s = self.stride[i] if j == 0 else 1
                 ch = num_channels[i]
+                # reference ResNetForBEVDet always gives the first block
+                # of a stage a bare 3x3 conv shortcut (resnet.py:29-44)
+                force_ds = (j == 0)
                 if self.block_type == "BottleNeck":
                     cls = nn.remat(Bottleneck, static_argnums=(2,)) \
                         if self.with_cp else Bottleneck
@@ -125,6 +128,8 @@ class ResNetForBEVDet(nn.Module):
                     cls = nn.remat(BasicBlock, static_argnums=(2,)) \
                         if self.with_cp else BasicBlock
                     blk = cls(ch, stride=s, norm_cfg=self.norm_cfg,
+                              downsample=force_ds, downsample_kernel=3,
+                              downsample_norm=False,
                               name=f"stage{i}_block{j}")
                 x = blk(x, train)
             if i in out_ids:

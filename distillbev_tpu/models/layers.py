@@ -218,11 +218,18 @@ class DeconvModule(nn.Module):
 
 
 class BasicBlock(nn.Module):
-    """ResNet BasicBlock, channels-last (backbone + BEV encoder)."""
+    """ResNet BasicBlock, channels-last (backbone + BEV encoder).
+
+    downsample_kernel/downsample_norm: the mmdet image ResNet uses a
+    1x1 conv + BN shortcut; ResNetForBEVDet uses a bare 3x3 conv
+    (reference backbones/resnet.py:29-44) — both are expressible here.
+    """
     channels: int
     stride: int = 1
     downsample: bool = False
     norm_cfg: Optional[dict] = None
+    downsample_kernel: int = 1
+    downsample_norm: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -238,11 +245,15 @@ class BasicBlock(nn.Module):
         y = norm(name="bn2")(y, use_running_average=not train)
         if self.downsample or self.stride != 1 or \
                 x.shape[-1] != self.channels:
-            identity = nn.Conv(self.channels, (1, 1),
-                               strides=(self.stride,) * 2, use_bias=False,
+            k = self.downsample_kernel
+            identity = nn.Conv(self.channels, (k, k),
+                               strides=(self.stride,) * 2,
+                               padding=((k // 2,) * 2,) * 2,
+                               use_bias=not self.downsample_norm,
                                name="downsample_conv")(x)
-            identity = norm(name="downsample_bn")(
-                identity, use_running_average=not train)
+            if self.downsample_norm:
+                identity = norm(name="downsample_bn")(
+                    identity, use_running_average=not train)
         return nn.relu(y + identity)
 
 

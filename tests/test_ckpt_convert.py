@@ -94,3 +94,43 @@ def test_mapped_params_change_forward(rng):
                             pts, mask)
     assert not np.allclose(np.asarray(preds0[0]["heatmap"]),
                            np.asarray(preds1[0]["heatmap"]))
+
+
+@pytest.mark.slow
+def test_bevdepth4d_name_map_targets_exist(rng):
+    """Every flax path targeted by the BEVDepth4D map must exist in the
+    real flagship student tree (R50) — catches naming drift."""
+    import jax
+    from distillbev_tpu.apis.flagship import bevdepth4d_distill_cfg
+    from distillbev_tpu.models.detectors.bevdet import ImgInputs
+    from tools.model_converters.convert_torch_ckpt import (
+        bevdepth4d_name_map)
+
+    cfg = bevdepth4d_distill_cfg(50)
+    cfg["img_view_transformer"]["data_config"] = {
+        "input_size": (64, 176)}
+    model = build_detector(cfg)
+    b, n = 1, 6
+    imgs = np.zeros((b, 2 * n, 64, 176, 3), np.float32)
+    eye = np.tile(np.eye(3, dtype=np.float32), (b, 2, n, 1, 1))
+    zeros3 = np.zeros((b, 2, n, 3), np.float32)
+    intr = eye.copy(); intr[..., 0, 0] = 100; intr[..., 1, 1] = 100
+    inputs = ImgInputs(imgs, eye, zeros3, intr, eye, zeros3,
+                       np.zeros((b, n, 4, 11), np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inputs)
+    flat_p = flatten_tree(variables["params"])
+    flat_s = flatten_tree(variables["batch_stats"])
+    pm, sm = bevdepth4d_name_map(50)
+    missing_p = [t for t, path in pm.items() if path not in flat_p]
+    missing_s = [t for t, path in sm.items() if path not in flat_s]
+    assert not missing_p, missing_p[:10]
+    assert not missing_s, missing_s[:10]
+    # coverage: the map should fill the vast majority of student params
+    targets = set(pm.values())
+    student_paths = [p for p in flat_p if p[0] in (
+        "backbone", "neck", "view_transformer", "bev_backbone",
+        "bev_neck", "pre_process_net", "bbox_head")]
+    covered = sum(1 for p in student_paths if p in targets)
+    assert covered / len(student_paths) > 0.95, (
+        covered, len(student_paths),
+        [p for p in student_paths if p not in targets][:10])

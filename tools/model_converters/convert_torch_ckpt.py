@@ -89,8 +89,160 @@ def centerpoint_pillar_name_map(num_tasks: int = 6,
     return pm, sm
 
 
+
+
+def resnet_name_map(depth: int, torch_prefix: str = "",
+                    flax_prefix: Tuple[str, ...] = ("backbone",),
+                    torchvision_style: bool = True
+                    ) -> Tuple[Dict, Dict]:
+    """torchvision/mmdet ResNet names -> our flax ResNet paths.
+
+    torchvision: conv1 / bn1 / layer{1..4}.{j}.conv{1..3}/bn{1..3} +
+    downsample.0/.1; mmdet prefixes everything with ``backbone.`` but
+    keeps the same structure.
+    """
+    blocks = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
+              101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}[depth]
+    bottleneck = depth >= 50
+    pm: Dict = {}
+    sm: Dict = {}
+    tp = torch_prefix
+    pm[f"{tp}conv1.weight"] = flax_prefix + ("stem_conv", "kernel")
+    pm.update(bn_name_map(f"{tp}bn1", flax_prefix + ("stem_bn",), sm))
+    n_convs = 3 if bottleneck else 2
+    for li, n in enumerate(blocks):
+        for j in range(n):
+            t_blk = f"{tp}layer{li + 1}.{j}"
+            f_blk = flax_prefix + (f"layer{li + 1}_block{j}",)
+            for ci in range(1, n_convs + 1):
+                pm[f"{t_blk}.conv{ci}.weight"] = f_blk + (
+                    f"conv{ci}", "kernel")
+                pm.update(bn_name_map(f"{t_blk}.bn{ci}",
+                                      f_blk + (f"bn{ci}",), sm))
+            # downsample exists only on each stage's first block (and on
+            # layer1 only for bottleneck nets, where channels change)
+            if j == 0 and (li > 0 or bottleneck):
+                pm[f"{t_blk}.downsample.0.weight"] = f_blk + (
+                    "downsample_conv", "kernel")
+                pm.update(bn_name_map(f"{t_blk}.downsample.1",
+                                      f_blk + ("downsample_bn",), sm))
+    return pm, sm
+
+
+def bevdepth4d_name_map(depth: int = 50) -> Tuple[Dict, Dict]:
+    """Reference BEVDepth4D(Distill) student state_dict -> our flax tree
+    (reference modules: img_backbone (mmdet ResNet), img_neck
+    FPNForBEVDet, img_view_transformer ViewTransformerLSSBEVDepth,
+    img_bev_encoder_backbone ResNetForBEVDet, img_bev_encoder_neck
+    FPN_LSS, pre_process ResNetForBEVDet, pts_bbox_head CenterHead)."""
+    pm, sm = resnet_name_map(depth, "img_backbone.", ("backbone",),
+                             torchvision_style=False)
+    # FPNForBEVDet: lateral_convs.{i}.conv + fpn_convs.{i}.conv
+    for i in range(2):
+        pm[f"img_neck.lateral_convs.{i}.conv.weight"] = (
+            "neck", f"lateral_{i}", "kernel")
+        pm[f"img_neck.lateral_convs.{i}.conv.bias"] = (
+            "neck", f"lateral_{i}", "bias")
+    pm["img_neck.fpn_convs.0.conv.weight"] = ("neck", "fpn_conv_0",
+                                              "kernel")
+    pm["img_neck.fpn_convs.0.conv.bias"] = ("neck", "fpn_conv_0",
+                                            "bias")
+    # view transformer
+    vt = "img_view_transformer."
+    fvt = ("view_transformer",)
+    pm[f"{vt}featnet.weight"] = fvt + ("featnet", "kernel")
+    pm[f"{vt}featnet.bias"] = fvt + ("featnet", "bias")
+    pm[f"{vt}depthnet.weight"] = fvt + ("depthnet", "kernel")
+    pm[f"{vt}depthnet.bias"] = fvt + ("depthnet", "bias")
+    pm[f"{vt}se.input_conv.weight"] = fvt + ("se", "input_conv",
+                                             "kernel")
+    pm[f"{vt}se.input_conv.bias"] = fvt + ("se", "input_conv", "bias")
+    pm[f"{vt}se.fc.1.weight"] = fvt + ("se", "fc", "kernel")
+    pm[f"{vt}se.fc.1.bias"] = fvt + ("se", "fc", "bias")
+    pm.update(bn_name_map(f"{vt}se.fc.0", fvt + ("se", "fc_bn"), sm))
+    # extra_depthnet: ResNetForBEVDet num_layer=[3] -> stage0_block{0..2}
+    for j in range(3):
+        t_blk = f"{vt}extra_depthnet.layers.0.{j}"
+        f_blk = fvt + ("extra_depthnet", f"stage0_block{j}")
+        for ci in (1, 2):
+            pm[f"{t_blk}.conv{ci}.weight"] = f_blk + (f"conv{ci}",
+                                                      "kernel")
+            pm.update(bn_name_map(f"{t_blk}.bn{ci}",
+                                  f_blk + (f"bn{ci}",), sm))
+        if j == 0:
+            pm[f"{t_blk}.downsample.weight"] = f_blk + (
+                "downsample_conv", "kernel")
+            pm[f"{t_blk}.downsample.bias"] = f_blk + (
+                "downsample_conv", "bias")
+    # dcn stand-in + bn (reference img_view_transformer.dcn.0/.1)
+    pm[f"{vt}dcn.0.weight"] = fvt + ("dcn_conv", "kernel")
+    pm[f"{vt}dcn.0.bias"] = fvt + ("dcn_conv", "bias")
+    pm.update(bn_name_map(f"{vt}dcn.1", fvt + ("dcn_bn",), sm))
+    # bev encoder backbone: ResNetForBEVDet default num_layer [2,2,2]
+    for i in range(3):
+        for j in range(2):
+            t_blk = f"img_bev_encoder_backbone.layers.{i}.{j}"
+            f_blk = ("bev_backbone", f"stage{i}_block{j}")
+            for ci in (1, 2):
+                pm[f"{t_blk}.conv{ci}.weight"] = f_blk + (f"conv{ci}",
+                                                          "kernel")
+                pm.update(bn_name_map(f"{t_blk}.bn{ci}",
+                                      f_blk + (f"bn{ci}",), sm))
+            if j == 0:
+                pm[f"{t_blk}.downsample.weight"] = f_blk + (
+                    "downsample_conv", "kernel")
+                pm[f"{t_blk}.downsample.bias"] = f_blk + (
+                    "downsample_conv", "bias")
+    # FPN_LSS: conv.0 conv.1(bn) conv.3 conv.4(bn); up2: 1 conv, 2 bn, 4 conv1x1
+    neck = "img_bev_encoder_neck."
+    pm[f"{neck}conv.0.weight"] = ("bev_neck", "conv0", "conv", "kernel")
+    pm.update(bn_name_map(f"{neck}conv.1",
+                          ("bev_neck", "conv0", "norm"), sm))
+    pm[f"{neck}conv.3.weight"] = ("bev_neck", "conv1", "conv", "kernel")
+    pm.update(bn_name_map(f"{neck}conv.4",
+                          ("bev_neck", "conv1", "norm"), sm))
+    pm[f"{neck}up2.1.weight"] = ("bev_neck", "up2_conv0", "conv",
+                                 "kernel")
+    pm.update(bn_name_map(f"{neck}up2.2",
+                          ("bev_neck", "up2_conv0", "norm"), sm))
+    pm[f"{neck}up2.4.weight"] = ("bev_neck", "up2_conv1", "kernel")
+    pm[f"{neck}up2.4.bias"] = ("bev_neck", "up2_conv1", "bias")
+    # pre_process: ResNetForBEVDet num_layer=[2]
+    for j in range(2):
+        t_blk = f"pre_process_net.layers.0.{j}"
+        f_blk = ("pre_process_net", f"stage0_block{j}")
+        for ci in (1, 2):
+            pm[f"{t_blk}.conv{ci}.weight"] = f_blk + (f"conv{ci}",
+                                                      "kernel")
+            pm.update(bn_name_map(f"{t_blk}.bn{ci}",
+                                  f_blk + (f"bn{ci}",), sm))
+        if j == 0:
+            pm[f"{t_blk}.downsample.weight"] = f_blk + (
+                "downsample_conv", "kernel")
+            pm[f"{t_blk}.downsample.bias"] = f_blk + (
+                "downsample_conv", "bias")
+    # head: same structure as the teacher head
+    hp, hs = centerpoint_pillar_name_map(num_tasks=6)
+    for k, v in hp.items():
+        if k.startswith("pts_bbox_head."):
+            pm[k] = v
+    for k, v in hs.items():
+        if k.startswith("pts_bbox_head."):
+            sm[k] = v
+    return pm, sm
+
+
+def torchvision_resnet_map(depth: int = 50) -> Tuple[Dict, Dict]:
+    """Plain torchvision resnet{depth} checkpoint -> img backbone subtree
+    (for pretrained init, reference cfg pretrained=resnet50-19c8e357.pth)."""
+    return resnet_name_map(depth, "", ("backbone",))
+
+
 NAME_MAPS = {
     "centerpoint_pillar": centerpoint_pillar_name_map,
+    "bevdepth4d": bevdepth4d_name_map,
+    "torchvision_resnet50": lambda: torchvision_resnet_map(50),
+    "torchvision_resnet101": lambda: torchvision_resnet_map(101),
 }
 
 
