@@ -26,13 +26,20 @@ def batch_to_device(batch: Dict, family: str):
     from ..training.train_step import DistillBatch, PointsBatch
     from ..models.detectors.bevdet import ImgInputs
 
+    def _gt(key, shape, dtype):
+        if key in batch:
+            return jnp.asarray(batch[key])
+        return jnp.zeros(shape, dtype)   # test-mode batches carry no GT
+
+    b = batch["points"].shape[0] if "points" in batch else \
+        batch["img_inputs"][0].shape[0]
     if family == "points":
         return PointsBatch(
             jnp.asarray(batch["points"]),
             jnp.asarray(batch["point_mask"]),
-            jnp.asarray(batch["gt_boxes"]),
-            jnp.asarray(batch["gt_labels"]),
-            jnp.asarray(batch["gt_mask"]))
+            _gt("gt_boxes", (b, 1, 9), jnp.float32),
+            _gt("gt_labels", (b, 1), jnp.int32),
+            _gt("gt_mask", (b, 1), bool))
     if family == "distill":
         ii = batch["img_inputs"]
         img_inputs = ImgInputs(
@@ -42,9 +49,9 @@ def batch_to_device(batch: Dict, family: str):
         return DistillBatch(
             img_inputs, jnp.asarray(batch["points"]),
             jnp.asarray(batch["point_mask"]),
-            jnp.asarray(batch["gt_boxes"]),
-            jnp.asarray(batch["gt_labels"]),
-            jnp.asarray(batch["gt_mask"]))
+            _gt("gt_boxes", (b, 1, 9), jnp.float32),
+            _gt("gt_labels", (b, 1), jnp.int32),
+            _gt("gt_mask", (b, 1), bool))
     raise NotImplementedError(family)
 
 

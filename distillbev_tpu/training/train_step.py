@@ -173,3 +173,68 @@ def make_distill_train_step(student, teacher, tx,
 def init_train_state(params, batch_stats, tx) -> TrainState:
     return TrainState(params, batch_stats, tx.init(params),
                       jnp.zeros((), jnp.int32))
+
+
+class BEVFormerBatch(NamedTuple):
+    """Transformer-student distillation batch (queue protocol)."""
+    imgs: jnp.ndarray           # [B, T, N, H, W, 3]
+    can_bus: jnp.ndarray        # [B, T, 18]
+    lidar2img: jnp.ndarray      # [B, T, N, 4, 4]
+    prev_exists: jnp.ndarray    # [B, T]
+    points: jnp.ndarray
+    point_mask: jnp.ndarray
+    gt_boxes: jnp.ndarray
+    gt_labels: jnp.ndarray
+    gt_mask: jnp.ndarray
+
+
+def make_bevformer_distill_train_step(student, teacher, tx,
+                                      bev_h: int, bev_w: int) -> Callable:
+    """BEVFormer distillation step (reference
+    bevformer_distill.py forward_train:926-984): detection loss +
+    FGD on (student bev_embed, teacher bev_feat) + hs/query distill."""
+
+    def train_step(state: TrainState, teacher_variables,
+                   batch: BEVFormerBatch, epoch: jnp.ndarray):
+        gt = gravity_centered(batch.gt_boxes)
+        t_outs, t_bundle = teacher.apply(
+            teacher_variables, batch.points, batch.point_mask,
+            train=False)
+        t_outs = jax.lax.stop_gradient(t_outs)
+        t_bundle = jax.lax.stop_gradient(t_bundle)
+
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(0),
+                                         state.step)
+
+        def loss_fn(params):
+            variables = {"params": params,
+                         "batch_stats": state.batch_stats}
+            (outs, bundle), new_state = student.apply(
+                variables, batch.imgs, batch.can_bus, batch.lidar2img,
+                batch.prev_exists, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng})
+            det_losses = student.apply(
+                variables, outs, gt, batch.gt_labels, batch.gt_mask,
+                method=student.loss)
+            losses = dict(det_losses)
+            distill = student.apply(
+                variables, outs, t_outs, t_bundle.bev_feat, gt,
+                batch.gt_labels, batch.gt_mask, epoch, bev_h, bev_w,
+                True, method=student.distill_losses_bevformer)
+            losses.update(distill)
+            total = sum(jax.tree_util.tree_leaves(losses))
+            return total, (losses, new_state["batch_stats"])
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, new_stats, opt_state,
+                          state.step + 1), metrics
+
+    return train_step

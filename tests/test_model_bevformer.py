@@ -52,13 +52,13 @@ def tiny_lidarformer_cfg():
     return dict(
         type="LidarFormer",
         pts_voxel_layer=dict(max_num_points=4,
-                             voxel_size=[0.5, 0.5, 0.25],
-                             point_cloud_range=PCR, max_voxels=(256,
-                                                                256)),
+                             voxel_size=[0.25, 0.25, 0.25],
+                             point_cloud_range=PCR, max_voxels=(512,
+                                                                512)),
         pts_voxel_encoder=dict(type="HardSimpleVFE", num_features=4),
         pts_middle_encoder=dict(
             type="SparseEncoder", in_channels=4,
-            sparse_shape=[33, 32, 32], base_channels=8,
+            sparse_shape=[33, 64, 64], base_channels=8,
             output_channels=16,
             encoder_channels=((8,), (8, 8), (16, 16), (16, 16)),
             encoder_paddings=((1,), (1, 1), (1, 1), ((0, 1, 1), 1)),
