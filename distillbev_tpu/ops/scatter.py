@@ -56,11 +56,11 @@ def _scatter_bwd(max_voxels, mode, res, g):
     idx = jnp.clip(point2voxel, 0, max_voxels - 1)
     g_pt = g[idx]
     if mode == "mean":
-        ones = valid.astype(jnp.float32)
-        counts = jnp.zeros((max_voxels,), jnp.float32).at[
-            jnp.where(valid, point2voxel, 0)].add(
-                ones, mode="drop")
-        # note: invalid rows all hit index 0 with weight 0 — harmless
+        # per-voxel counts through the sorted path — a scatter-ADD here
+        # would serialize over per-voxel collisions on TPU
+        ones = valid.astype(jnp.float32)[:, None]
+        counts = _scatter_reduce_impl(ones, point2voxel, max_voxels,
+                                      "sum")[:, 0]
         g_pt = g_pt / jnp.maximum(counts[idx], 1.0)[:, None]
     elif mode == "max":
         winners = (feats == out[idx]).astype(g_pt.dtype)

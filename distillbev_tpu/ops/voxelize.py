@@ -132,9 +132,16 @@ def hard_voxelize(points: jnp.ndarray,
     coords_out = coords_out.at[start_dst].set(sorted_coords, mode="drop")
     coords_out = coords_out[:-1]
 
-    ones = keep.astype(jnp.int32)
+    # per-voxel point count: write (slot + 1) at the last KEPT row of
+    # each segment — unique indices, so XLA emits a fast dense scatter
+    # (a scatter-ADD here would serialize over the <=max_points
+    # collisions per voxel)
+    nxt_keys = jnp.concatenate([sorted_keys[1:], sorted_keys[-1:] + 1])
+    seg_end = sorted_keys != nxt_keys
+    last_kept = keep & (seg_end | (slot == max_points - 1))
     num_points = jnp.zeros((max_voxels + 1,), jnp.int32).at[
-        jnp.where(keep, voxel_idx, max_voxels)].add(ones, mode="drop")[:-1]
+        jnp.where(last_kept, voxel_idx, max_voxels)].set(
+        slot + 1, mode="drop")[:-1]
     num_voxels = jnp.sum((starts & sorted_valid &
                           (voxel_idx < max_voxels)).astype(jnp.int32))
     return VoxelizationOutput(voxels, coords_out, num_points, num_voxels)
