@@ -28,7 +28,7 @@ from ..builder import (DETECTORS, build_backbone, build_head,
                        build_middle_encoder, build_neck,
                        build_voxel_encoder)
 from ...ops.voxelize import hard_voxelize, compute_voxel_coords, \
-    unique_voxels
+    sorted_voxel_info, unique_voxels
 from ...ops.scatter import scatter_reduce
 
 
@@ -51,6 +51,12 @@ class CenterPoint(nn.Module):
     train_cfg: Any = None
     test_cfg: Any = None
     max_points_per_sample: int = 0   # unused; points arrive padded
+    # fused sorted-pillar path: skips the [V, P, C] scatter-fill (the
+    # most expensive op of the pillar pipeline on TPU) and runs the VFE
+    # as segmented reductions over the sorted point array.  Numerically
+    # identical to the unfused path (same kept set, same statistics);
+    # used whenever the voxel encoder exposes ``encode_sorted``.
+    fused_pillars: bool = True
 
     def setup(self):
         self.voxel_encoder = build_voxel_encoder(
@@ -77,8 +83,46 @@ class CenterPoint(nn.Module):
             vl["max_num_points"], max_voxels)
         return jax.vmap(vox_fn)(points, point_mask)
 
+    def _voxel_layer_args(self):
+        vl = dict(self.pts_voxel_layer)
+        max_voxels = vl["max_voxels"]
+        if isinstance(max_voxels, (tuple, list)):
+            max_voxels = max_voxels[0]
+        return (tuple(vl["voxel_size"]), tuple(vl["point_cloud_range"]),
+                vl["max_num_points"], max_voxels)
+
+    def _extract_fused(self, points, point_mask, train: bool):
+        """Sorted-pillar fast path (no [V, P, C] materialization)."""
+        vs, pcr, max_points, max_voxels = self._voxel_layer_args()
+        info = jax.vmap(lambda p, m: sorted_voxel_info(
+            p, m, vs, pcr, max_points, max_voxels))(points, point_mask)
+        b, n, c = points.shape
+        v = max_voxels
+        # fold batch into the segment axis: sample i's voxels live in
+        # [i*v, (i+1)*v); dropped rows go to the b*v sentinel.  Runs stay
+        # contiguous, which is all the segmented reductions need.
+        off = jnp.arange(b, dtype=jnp.int32)[:, None] * v
+        vidx_flat = jnp.where(info.keep, info.voxel_idx + off,
+                              b * v).reshape(-1)
+        voxel_mask = (jnp.arange(v)[None, :] <
+                      info.num_voxels[:, None])
+        vf = self.voxel_encoder.encode_sorted(
+            info.sorted_pts.reshape(b * n, c), vidx_flat,
+            info.slot.reshape(-1), info.keep.reshape(-1),
+            info.coords.reshape(b * v, 3),
+            info.num_points.reshape(-1), b * v,
+            voxel_mask=voxel_mask.reshape(-1), train=train)
+        vf = vf.reshape(b, v, -1)
+        canvas = self.middle_encoder(vf, info.coords, voxel_mask)
+        feats = self.backbone(canvas, train=train)
+        neck = self.neck(feats, train=train)
+        return FeatureBundle(canvas, feats, neck)
+
     def extract_pts_feat(self, points, point_mask, train: bool = False
                          ) -> FeatureBundle:
+        if self.fused_pillars and hasattr(self.voxel_encoder,
+                                          "encode_sorted"):
+            return self._extract_fused(points, point_mask, train)
         vox = self.voxelize(points, point_mask)
         voxel_mask = jnp.arange(vox.voxels.shape[1])[None, :] < \
             vox.num_voxels[:, None]

@@ -76,6 +76,85 @@ def dynamic_voxelize(points: jnp.ndarray,
     return jnp.where(valid[:, None], coords, -1)
 
 
+class SortedVoxelInfo(NamedTuple):
+    """Sorted-point view of a hard voxelization — same point/voxel
+    selection as :func:`hard_voxelize` but WITHOUT materializing the
+    ``[max_voxels, max_points, C]`` tensor (whose scatter-fill is the
+    single most expensive op of the pillar path on TPU: ~60 ms for
+    1.2M points — rows of 4-5 floats waste the 128-wide lanes).
+
+    Consumers (fused pillar encoders) operate directly on the sorted
+    point array with segmented reductions.
+
+    sorted_pts:  [N, C] points sorted by flat voxel key.
+    voxel_idx:   [N] int32 segment id per sorted point (ascending;
+                 dropped/invalid rows carry ids >= max_voxels).
+    slot:        [N] int32 position within the voxel.
+    keep:        [N] bool — exactly hard_voxelize's kept set
+                 (valid & voxel_idx < max_voxels & slot < max_points).
+    coords:      [max_voxels, 3] int32 (z, y, x); -1 padding.
+    num_points:  [max_voxels] int32 kept points per voxel.
+    num_voxels:  [] int32.
+    """
+    sorted_pts: jnp.ndarray
+    voxel_idx: jnp.ndarray
+    slot: jnp.ndarray
+    keep: jnp.ndarray
+    coords: jnp.ndarray
+    num_points: jnp.ndarray
+    num_voxels: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("voxel_size", "point_cloud_range",
+                                   "max_points", "max_voxels"))
+def sorted_voxel_info(points: jnp.ndarray,
+                      valid_points: jnp.ndarray,
+                      voxel_size: Tuple[float, ...],
+                      point_cloud_range: Tuple[float, ...],
+                      max_points: int,
+                      max_voxels: int) -> SortedVoxelInfo:
+    """Hard voxelization metadata in sorted-point form (see
+    :class:`SortedVoxelInfo`).  Selection semantics are bit-identical to
+    :func:`hard_voxelize`; only the [V, P, C] materialization is skipped."""
+    n, c = points.shape
+    coords, in_range = compute_voxel_coords(points, voxel_size,
+                                            point_cloud_range)
+    valid = in_range & valid_points
+
+    vs = jnp.asarray(voxel_size, points.dtype)
+    lo = jnp.asarray(point_cloud_range[:3], points.dtype)
+    hi = jnp.asarray(point_cloud_range[3:], points.dtype)
+    grid = jnp.floor((hi - lo) / vs + 0.5).astype(jnp.int32)
+    gx, gy = grid[0], grid[1]
+
+    key = (coords[:, 0] * gy + coords[:, 1]) * gx + coords[:, 2]
+    key = jnp.where(valid, key, jnp.iinfo(jnp.int32).max)
+
+    sorted_keys, order, sorted_pts, sorted_valid = sort_by_key(
+        key, points, valid)
+    starts = (segment_starts(sorted_keys) & sorted_valid) | ~sorted_valid
+    voxel_idx = segment_ids_from_starts(starts)
+    slot = position_in_segment(starts)
+    keep = sorted_valid & (voxel_idx < max_voxels) & (slot < max_points)
+
+    start_dst = jnp.where(starts & keep, voxel_idx, max_voxels)
+    sorted_coords = coords[order]
+    coords_out = jnp.full((max_voxels + 1, 3), -1, jnp.int32)
+    coords_out = coords_out.at[start_dst].set(sorted_coords,
+                                              mode="drop")[:-1]
+
+    nxt_keys = jnp.concatenate([sorted_keys[1:], sorted_keys[-1:] + 1])
+    seg_end = sorted_keys != nxt_keys
+    last_kept = keep & (seg_end | (slot == max_points - 1))
+    num_points = jnp.zeros((max_voxels + 1,), jnp.int32).at[
+        jnp.where(last_kept, voxel_idx, max_voxels)].set(
+        slot + 1, mode="drop")[:-1]
+    num_voxels = jnp.sum((starts & sorted_valid &
+                          (voxel_idx < max_voxels)).astype(jnp.int32))
+    return SortedVoxelInfo(sorted_pts, voxel_idx, slot, keep, coords_out,
+                           num_points, num_voxels)
+
+
 @partial(jax.jit, static_argnames=("voxel_size", "point_cloud_range",
                                    "max_points", "max_voxels"))
 def hard_voxelize(points: jnp.ndarray,

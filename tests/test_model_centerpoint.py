@@ -161,3 +161,20 @@ def test_target_generation_heatmap_peaks(rng):
     a = np.asarray(anno[0])[0, 0]
     assert abs(a[0] - 0.5) < 1e-5 and abs(a[1] - 0.5) < 1e-5
     assert np.allclose(a[3:6], np.log([1.6, 2.4, 1.5]), atol=1e-5)
+
+
+def test_fused_pillar_path_matches_dense(rng):
+    """The sorted-pillar fast path (no [V, P, C] materialization) must be
+    numerically identical to hard_voxelize + PillarFeatureNet."""
+    cfg = tiny_centerpoint_cfg()
+    fused = build_detector(dict(cfg, fused_pillars=True))
+    dense = build_detector(dict(cfg, fused_pillars=False))
+    pts, mask, *_ = make_batch(rng)
+    variables = fused.init(jax.random.PRNGKey(0), pts, mask,
+                           method=fused.extract_pts_feat)
+    b1 = fused.apply(variables, pts, mask, method=fused.extract_pts_feat)
+    b2 = dense.apply(variables, pts, mask, method=dense.extract_pts_feat)
+    np.testing.assert_allclose(np.asarray(b1.canvas), np.asarray(b2.canvas),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b1.neck_feat),
+                               np.asarray(b2.neck_feat), atol=1e-4)
