@@ -110,7 +110,7 @@ class CenterPoint(nn.Module):
             info.sorted_pts.reshape(b * n, c), vidx_flat,
             info.slot.reshape(-1), info.keep.reshape(-1),
             info.coords.reshape(b * v, 3),
-            info.num_points.reshape(-1), b * v,
+            info.num_points.reshape(-1), b * v, max_points,
             voxel_mask=voxel_mask.reshape(-1), train=train)
         vf = vf.reshape(b, v, -1)
         canvas = self.middle_encoder(vf, info.coords, voxel_mask)

@@ -66,23 +66,30 @@ class PFNLayer(nn.Module):
                                x.shape[:3] + (units,))
         return jnp.concatenate([x, rep], axis=-1)
 
-    def sorted_call(self, feats, voxel_idx, keep, num_segments: int,
+    def sorted_call(self, feats, voxel_idx, keep, start_rows, cap: int,
+                    num_segments: int, num_points=None,
                     train: bool = False):
         """Fused per-point variant: feats [N, C] sorted by voxel,
-        voxel_idx [N] ascending segment ids, keep [N] bool.
+        voxel_idx [N] contiguous segment ids, keep [N] bool, start_rows
+        [num_segments] physical first row per segment, cap = static
+        max kept rows per segment (max_points).
 
         Returns pooled [num_segments, units] (last layer) or the
         per-point concat [N, 2*units] (intermediate layers) — the same
         math as ``__call__`` on the scattered [B, V, P, C] layout, on
-        half the rows and with no big scatter."""
-        from ...ops.segmented import segment_reduce_sorted
+        half the rows, with no scans and no big scatter."""
+        from ...ops.segmented import capped_segment_reduce
         x = self.linear(feats)
         x = self.norm(x, use_running_average=not train, mask=keep)
         x = nn.relu(x)
         x = jnp.where(keep[:, None], x, 0.0)
-        reduce = "max" if self.mode == "max" else "mean"
-        pooled = segment_reduce_sorted(x, voxel_idx, num_segments,
-                                       reduce=reduce, valid=keep)
+        reduce = "max" if self.mode == "max" else "sum"
+        pooled = capped_segment_reduce(x, voxel_idx, start_rows, cap,
+                                       num_segments, reduce=reduce,
+                                       valid=keep)
+        if self.mode != "max" and num_points is not None:
+            pooled = pooled / jnp.maximum(num_points, 1).astype(
+                pooled.dtype)[:, None]
         if self.last_layer:
             return pooled
         idx = jnp.minimum(voxel_idx, num_segments - 1)
@@ -158,8 +165,8 @@ class PillarFeatureNet(nn.Module):
         return jnp.where(voxel_mask[..., None], x, 0.0)
 
     def encode_sorted(self, sorted_pts, voxel_idx, slot, keep, coords,
-                      num_points, num_segments: int, voxel_mask=None,
-                      train: bool = False):
+                      num_points, num_segments: int, max_points: int,
+                      voxel_mask=None, train: bool = False):
         """Fused pillar encoding straight from :func:`sorted_voxel_info`
         output — numerically identical to ``hard_voxelize`` +
         ``__call__`` (same kept point set, same masked statistics) but
@@ -175,7 +182,15 @@ class PillarFeatureNet(nn.Module):
             coords: [num_segments, 3] (z, y, x); num_points: [num_segments].
         Returns [num_segments, feat_channels[-1]].
         """
-        from ...ops.segmented import segment_reduce_sorted
+        from ...ops.segmented import capped_segment_reduce
+        n = sorted_pts.shape[0]
+        cap = int(max_points)
+        row = jnp.arange(n, dtype=jnp.int32)
+        start = keep & (slot == 0)
+        start_rows = jnp.full((num_segments + 1,), n, jnp.int32).at[
+            jnp.where(start, voxel_idx, num_segments)].set(
+            row, mode="drop")[:-1]
+
         feats = sorted_pts
         if self.virtual:
             flag = feats[..., -2]
@@ -184,9 +199,9 @@ class PillarFeatureNet(nn.Module):
 
         decorations = [feats]
         if self.with_cluster_center:
-            sums = segment_reduce_sorted(feats[:, :3], voxel_idx,
-                                         num_segments, reduce="sum",
-                                         valid=keep)
+            sums = capped_segment_reduce(feats[:, :3], voxel_idx,
+                                         start_rows, cap, num_segments,
+                                         reduce="sum", valid=keep)
             cnt = jnp.maximum(num_points, 1).astype(feats.dtype)[:, None]
             mean = sums / cnt
             decorations.append(feats[:, :3] - mean[idx])
@@ -206,7 +221,8 @@ class PillarFeatureNet(nn.Module):
         x = jnp.where(keep[:, None], x, 0.0)
 
         for layer in self.pfn_layers:
-            x = layer.sorted_call(x, voxel_idx, keep, num_segments,
+            x = layer.sorted_call(x, voxel_idx, keep, start_rows, cap,
+                                  num_segments, num_points=num_points,
                                   train=train)
         if voxel_mask is not None:
             x = jnp.where(voxel_mask[:, None], x, 0.0)

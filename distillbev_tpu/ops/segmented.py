@@ -125,6 +125,70 @@ def position_in_segment(starts: jnp.ndarray) -> jnp.ndarray:
     return idx - seg_start
 
 
+@partial(jax.jit, static_argnames=("cap", "num_segments", "reduce"))
+def capped_segment_reduce(values: jnp.ndarray,
+                          sorted_keys: jnp.ndarray,
+                          start_rows: jnp.ndarray,
+                          cap: int,
+                          num_segments: int,
+                          reduce: str = "max",
+                          valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Per-segment reduction when contributing rows are capped.
+
+    For segments whose contributing (valid) rows all lie within the first
+    ``cap`` physical rows of the segment (e.g. hard-voxelized pillars with
+    ``max_points`` kept slots), the reduction needs no cumulative scan:
+    ceil(log2(cap)) shifted combine steps build a windowed suffix reduce,
+    and a gather at the segment-start rows reads the answer.  Much lighter
+    than ``associative_scan`` to compile AND run — no [N, C] scan tree,
+    no [N, C] scatter.
+
+    Args:
+        values: [N, C] rows sorted so equal keys are contiguous.
+        sorted_keys: [N] segment key per row (any contiguous labeling).
+        start_rows: [num_segments] physical row of each segment's first
+            row; rows >= N mean "empty segment" (result 0).
+        cap: static bound on valid rows per segment.
+        valid: [N] mask; invalid rows contribute nothing.
+
+    Returns [num_segments, C] float32.
+    """
+    n = values.shape[0]
+    vals = values.astype(jnp.float32)
+    if reduce in ("sum", "mean"):
+        ident = jnp.float32(0)
+        combine = jnp.add
+    elif reduce == "max":
+        ident = jnp.float32(-jnp.inf)
+        combine = jnp.maximum
+    else:
+        raise ValueError(f"unknown reduce {reduce!r}")
+    if valid is not None:
+        mask = valid.reshape((-1,) + (1,) * (values.ndim - 1))
+        vals = jnp.where(mask, vals, ident)
+
+    x, k = vals, sorted_keys
+    pad_key = jnp.full((1,), jnp.iinfo(sorted_keys.dtype).max,
+                       sorted_keys.dtype)
+    d = 1
+    while d < cap:
+        xs = jnp.concatenate(
+            [x[d:], jnp.full((d,) + x.shape[1:], ident, x.dtype)])
+        ks = jnp.concatenate([k[d:], jnp.broadcast_to(pad_key, (d,))])
+        same = (ks == k).reshape((-1,) + (1,) * (x.ndim - 1))
+        x = combine(x, jnp.where(same, xs, ident))
+        d *= 2
+
+    out = x[jnp.minimum(start_rows, n - 1)]
+    empty = start_rows >= n
+    out = jnp.where(empty.reshape((-1,) + (1,) * (out.ndim - 1)), 0.0, out)
+    if reduce == "max":
+        # segments whose every row was masked reduce to -inf -> 0 (matches
+        # the empty-voxel convention of segment_reduce_sorted)
+        out = jnp.where(jnp.isfinite(out), out, 0.0)
+    return out
+
+
 @partial(jax.jit, static_argnames=("num_segments", "reduce"))
 def segment_reduce_sorted(values: jnp.ndarray,
                           sorted_keys: jnp.ndarray,
