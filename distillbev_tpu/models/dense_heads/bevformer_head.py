@@ -18,6 +18,7 @@ dropped by masking.
 """
 from __future__ import annotations
 
+import math
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -44,6 +45,31 @@ def normalize_bbox(boxes: jnp.ndarray) -> jnp.ndarray:
     if boxes.shape[-1] > 7:
         out += [boxes[..., 7:8], boxes[..., 8:9]]
     return jnp.concatenate(out, axis=-1)
+
+
+def sine_positional_encoding_2d(h: int, w: int, num_feats: int,
+                                temperature: float = 10000.0,
+                                normalize: bool = True,
+                                scale: float = 2.0 * math.pi,
+                                offset: float = 0.0):
+    """Param-free sine PE (mmcv SinePositionalEncoding over an all-valid
+    mask — the only case the reference heads hit).  Returns
+    [h*w, 2*num_feats] numpy, y-features then x-features."""
+    import numpy as np
+    y = np.arange(1, h + 1, dtype=np.float32)[:, None].repeat(w, 1)
+    x = np.arange(1, w + 1, dtype=np.float32)[None, :].repeat(h, 0)
+    if normalize:
+        y = (y + offset) / (h + 1e-6) * scale
+        x = (x + offset) / (w + 1e-6) * scale
+    dim_t = temperature ** (
+        2 * (np.arange(num_feats, dtype=np.float32) // 2) / num_feats)
+    py = y[..., None] / dim_t
+    px = x[..., None] / dim_t
+    py = np.stack([np.sin(py[..., 0::2]), np.cos(py[..., 1::2])],
+                  axis=-1).reshape(h, w, -1)
+    px = np.stack([np.sin(px[..., 0::2]), np.cos(px[..., 1::2])],
+                  axis=-1).reshape(h, w, -1)
+    return np.concatenate([py, px], axis=-1).reshape(h * w, -1)
 
 
 class LearnedPositionalEncoding(nn.Module):
@@ -276,23 +302,45 @@ class BEVFormerHead(_DETR3DHeadBase):
 
 @HEADS.register_module()
 class DGCNN3DHead(_DETR3DHeadBase):
-    """Teacher-side DETR head over a single-scale LiDAR BEV
-    (reference dgcnn3d_head.py:18-510)."""
+    """Teacher-side DETR head over multi-level LiDAR BEV features
+    (reference dgcnn3d_head.py:18-510).
+
+    As in the reference, the deformable ENCODER's queries are a learned
+    ``bev_embedding`` (+ sine positional encoding) that cross-attends
+    into the flattened FPN levels — the encoder output ``bev_embed`` is
+    the distillation surface; the decoder then runs DETR-style object
+    queries over it."""
     transformer: Any = None
+    bev_h: int = 200
+    bev_w: int = 200
+    positional_encoding: Any = None
 
     @nn.compact
-    def __call__(self, bev_feat, train: bool = False):
-        """bev_feat [B, H, W, C] -> outs dict (incl. bev_embed/hs)."""
+    def __call__(self, mlvl_feats, train: bool = False):
+        """mlvl_feats: [B, H, W, C] or list thereof -> outs dict."""
+        if not isinstance(mlvl_feats, (list, tuple)):
+            mlvl_feats = [mlvl_feats]
+        bev_queries = self.param(
+            "bev_embedding", nn.initializers.normal(1.0),
+            (self.bev_h * self.bev_w, self.embed_dims))
         query_embed = self.param(
             "query_embedding", nn.initializers.normal(1.0),
             (self.num_query, self.embed_dims * 2))
+        pe = dict(self.positional_encoding or {})
+        pe.pop("type", None)
+        bev_pos = jnp.asarray(sine_positional_encoding_2d(
+            self.bev_h, self.bev_w,
+            pe.get("num_feats", self.embed_dims // 2),
+            normalize=pe.get("normalize", True),
+            offset=pe.get("offset", 0.0)))
         t_cfg = dict(self.transformer or {})
         t_cfg.pop("type", None)
+        t_cfg.setdefault("bev_size", self.bev_h)
         transformer = DeformableDetrTransformerDistill(
             name="transformer", **t_cfg)
         cls_branch, reg_branch = self._branches(6)
         bev_embed, hs, init_ref, inter_refs = transformer(
-            bev_feat, query_embed,
+            list(mlvl_feats), bev_queries, bev_pos, query_embed,
             reg_branch=reg_branch if self.with_box_refine else None,
             train=train)
         all_cls, all_box = self._decode_outputs(

@@ -28,7 +28,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..builder import HEADS, build_loss
-from ..layers import ConvModule
+from ..layers import ConvModule, ModulatedDeformConv
 from ...core import gaussian
 from ...core.bbox.coders import CODERS, DecodedBoxes
 from ...core.post_processing import circle_nms_mask, rotated_nms_mask
@@ -65,10 +65,10 @@ class SeparateHead(nn.Module):
 
 
 class DCNSeparateHead(nn.Module):
-    """SeparateHead with a feature-adaptation stage before the branches
-    (reference: centerpoint_head.py:125-243 — DCN feature adaptation for
-    heatmap and regression paths; the deformable conv is a plain 3x3 conv
-    here, same stand-in as the view transformers)."""
+    """SeparateHead with a DCNv2 feature-adaptation stage before the
+    branches (reference: centerpoint_head.py:125-243 — DCN feature
+    adaptation for heatmap and regression paths; true modulated
+    deformable sampling via ops/deform_conv.py)."""
     heads: Any
     head_conv: int = 64
     final_kernel: int = 3
@@ -78,12 +78,10 @@ class DCNSeparateHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
-        feat_adapt = ConvModule(x.shape[-1], 3, padding=1,
-                                norm_cfg=self.norm_cfg or dict(type="BN"),
-                                name="feature_adapt_cls")(x, train=train)
-        reg_adapt = ConvModule(x.shape[-1], 3, padding=1,
-                               norm_cfg=self.norm_cfg or dict(type="BN"),
-                               name="feature_adapt_reg")(x, train=train)
+        feat_adapt = ModulatedDeformConv(
+            x.shape[-1], 3, name="feature_adapt_cls")(x)
+        reg_adapt = ModulatedDeformConv(
+            x.shape[-1], 3, name="feature_adapt_reg")(x)
         out = {}
         hm = ConvModule(self.head_conv, 3, padding=1,
                         norm_cfg=self.norm_cfg or dict(type="BN"),

@@ -48,9 +48,6 @@ class LidarFormer(nn.Module):
             if self.pts_neck else None
         head_cfg = dict(self.pts_bbox_head)
         head_cfg.pop("in_channels", None)
-        head_cfg.pop("positional_encoding", None)
-        head_cfg.pop("bev_h", None)
-        head_cfg.pop("bev_w", None)
         head_cfg.pop("as_two_stage", None)
         head_cfg.setdefault("train_cfg", (self.train_cfg or {}).get(
             "pts"))
@@ -83,15 +80,17 @@ class LidarFormer(nn.Module):
         backbone_feats = self.backbone(bev, train=train)
         if self.neck is not None:
             neck_out = self.neck(backbone_feats, train=train)
-            feat = neck_out[0] if isinstance(neck_out, (tuple, list)) \
-                else neck_out
+            if not isinstance(neck_out, (tuple, list)):
+                neck_out = (neck_out,)
         else:
-            feat = backbone_feats[-1]
-        return FormerTeacherBundle(feat, backbone_feats, bev)
+            neck_out = (backbone_feats[-1],)
+        return FormerTeacherBundle(neck_out[0], backbone_feats,
+                                   bev), tuple(neck_out)
 
     def __call__(self, points, point_mask, train: bool = False):
-        bundle = self.extract_pts_feat(points, point_mask, train=train)
-        outs = self.bbox_head(bundle.bev_feat, train=train)
+        bundle, mlvl = self.extract_pts_feat(points, point_mask,
+                                             train=train)
+        outs = self.bbox_head(list(mlvl), train=train)
         return outs, bundle
 
     def loss(self, outs, gt_boxes, gt_labels, gt_mask):
@@ -129,8 +128,9 @@ class MVPFormer(LidarFormer):
         backbone_feats = self.backbone(bev, train=train)
         if self.neck is not None:
             neck_out = self.neck(backbone_feats, train=train)
-            feat = neck_out[0] if isinstance(neck_out, (tuple, list)) \
-                else neck_out
+            if not isinstance(neck_out, (tuple, list)):
+                neck_out = (neck_out,)
         else:
-            feat = backbone_feats[-1]
-        return FormerTeacherBundle(feat, backbone_feats, bev)
+            neck_out = (backbone_feats[-1],)
+        return FormerTeacherBundle(neck_out[0], backbone_feats,
+                                   bev), tuple(neck_out)

@@ -194,6 +194,44 @@ class ConvModule(nn.Module):
         return x
 
 
+class ModulatedDeformConv(nn.Module):
+    """DCNv2: learned-offset modulated deformable conv
+    (reference: mmcv ModulatedDeformConv2dPack used at
+    centerpoint_head.py:125-243 and view_transformer_mine.py:298-308).
+
+    TPU-native: bilinear taps + one MXU matmul (ops/deform_conv.py).
+    ``conv_offset`` is zero-initialized as in mmcv — at init offsets are
+    0 and modulation is sigmoid(0) = 0.5, i.e. half a standard conv.
+    Weight layout is HWIO like every conv here (converter transposes
+    torch OIHW; torch's conv_offset maps as a normal conv)."""
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.deform_conv import modulated_deform_conv2d
+        k = self.kernel_size
+        taps = k * k
+        off = nn.Conv(3 * taps, (k, k), strides=(self.stride,) * 2,
+                      padding=(((k - 1) * self.dilation // 2,) * 2,) * 2,
+                      kernel_dilation=(self.dilation,) * 2,
+                      kernel_init=nn.initializers.zeros,
+                      name="conv_offset")(x)
+        offset = off[..., :2 * taps]
+        mask = jax.nn.sigmoid(off[..., 2 * taps:])
+        weight = self.param(
+            "weight", nn.initializers.lecun_normal(),
+            (k, k, x.shape[-1], self.out_channels))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.out_channels,)) if self.use_bias else None
+        return modulated_deform_conv2d(x, offset, mask, weight, bias,
+                                       stride=self.stride,
+                                       dilation=self.dilation)
+
+
 class DeconvModule(nn.Module):
     """ConvTranspose2D + norm + act (SECONDFPN upsample path)."""
     out_channels: int

@@ -14,9 +14,8 @@ TPU-native design:
 * splat goes through ops.bev_pool (sort + segmented scan + unique
   scatter) instead of CUDA atomics;
 * the reference's DCNv2 before the depth head (view_transformer_mine.py
-  :298-308) is a plain 3x3 conv here — deformable sampling has no MXU
-  mapping; parity is checked at inference tolerance (SURVEY.md §2.1 row
-  DCNv2).
+  :298-308) is a true modulated deformable conv — bilinear taps + one
+  MXU matmul (ops/deform_conv.py).
 """
 from __future__ import annotations
 
@@ -28,7 +27,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..builder import NECKS, build_backbone
-from ..layers import ConvModule, make_norm
+from ..layers import ConvModule, ModulatedDeformConv, make_norm
 from ...ops.bev_pool import bev_pool
 
 
@@ -220,9 +219,9 @@ class ViewTransformerLSSBEVDepth(nn.Module):
             name="se")(xf, cam_params, train=train)
         depth_feat = build_backbone({**ed_cfg, "name": "extra_depthnet"})(
             depth_feat, train=train)[0]
-        # DCNv2 stand-in: 3x3 conv + BN (see module docstring)
-        depth_feat = nn.Conv(dch, (3, 3), padding=((1, 1), (1, 1)),
-                             name="dcn_conv")(depth_feat)
+        # true DCNv2 (reference view_transformer_mine.py:298-308)
+        depth_feat = ModulatedDeformConv(dch, 3, use_bias=False,
+                                         name="dcn_conv")(depth_feat)
         depth_feat = make_norm(dict(type="BN"))(name="dcn_bn")(
             depth_feat, use_running_average=not train)
         depth_logits = nn.Conv(geo.D, (1, 1), name="depthnet")(depth_feat)

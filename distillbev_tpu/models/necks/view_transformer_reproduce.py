@@ -5,8 +5,8 @@ Capability parity with the reference's reproduce-official transformer
 Mlp:186, SELayer:211, DepthNet:226-296 (reduce conv + camera-aware SE for
 context and depth + 3 BasicBlocks + ASPP + DCN + 1x1), and
 ViewTransformerLSSBEVDepthReproduce:298-365 with optional
-DepthAggregation).  As in view_transformer.py, the DCNv2 stage is a plain
-3x3 conv (documented parity deviation).
+DepthAggregation).  The DCNv2 stage is a true modulated
+deformable conv (ops/deform_conv.py).
 """
 from __future__ import annotations
 
@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..builder import NECKS
-from ..layers import BasicBlock, make_norm
+from ..layers import BasicBlock, ModulatedDeformConv, make_norm
 from .view_transformer import LSSGeometry, depth_bce_loss
 
 
@@ -104,9 +104,9 @@ class DepthNetReproduce(nn.Module):
             depth = BasicBlock(self.mid_channels,
                                name=f"block{i}")(depth, train)
         depth = ASPP(self.mid_channels, name="aspp")(depth, train=train)
-        depth = nn.Conv(self.mid_channels, (3, 3),
-                        padding=((1, 1), (1, 1)), use_bias=False,
-                        name="dcn_conv")(depth)
+        depth = ModulatedDeformConv(self.mid_channels, 3,
+                                    use_bias=False,
+                                    name="dcn_conv")(depth)
         depth = nn.Conv(self.depth_channels, (1, 1),
                         name="depth_pred")(depth)
         return depth, context

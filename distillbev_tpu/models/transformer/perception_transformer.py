@@ -155,10 +155,18 @@ class PerceptionTransformer(nn.Module):
 
 @TRANSFORMERS.register_module()
 class DeformableDetrTransformerDistill(nn.Module):
-    """Teacher transformer over a single-scale LiDAR BEV map
-    (reference: detr_transformer.py:20-330): flattens the BEV feature,
-    adds a level embed, runs the shared detection decoder; also returns
-    the flattened memory as ``bev_embed`` for distillation."""
+    """Teacher transformer over multi-level LiDAR BEV features
+    (reference: detr_transformer.py:20-330).
+
+    Encoder: the learned BEV queries (+ sine pos) cross-attend into the
+    flattened FPN levels with multi-scale deformable attention — six
+    cross_attn->norm->ffn->norm layers (the reference's
+    DetrTransformerEncoder with BaseTransformerLayer).  The output
+    ``memory`` [B, bev_size^2, C] is the distillation surface
+    (``bev_embed``).  Decoder: shared DetectionTransformerDecoder over
+    that memory.  ``level_embeds`` exists for checkpoint parity; as in
+    the reference's non-two-stage path it feeds only the (unused by
+    deformable attention) key positional embeddings."""
     embed_dims: int = 256
     decoder: Any = None
 
@@ -170,44 +178,58 @@ class DeformableDetrTransformerDistill(nn.Module):
     num_encoder_layers: int = 6
     feedforward_channels: int = 512
     dropout: float = 0.1
+    bev_size: int = 200
+    num_feature_levels: int = 4
 
     @nn.compact
-    def __call__(self, bev_feat, object_query_embed, reg_branch=None,
+    def __call__(self, mlvl_feats, bev_queries, bev_pos,
+                 object_query_embed, reg_branch=None,
                  train: bool = False):
-        """bev_feat [B, H, W, C]; object_query_embed [Q, 2C]."""
+        """mlvl_feats: list of [B, H_l, W_l, C]; bev_queries / bev_pos
+        [bev_size^2, C]; object_query_embed [Q, 2C]."""
         from .attention import CustomMSDeformableAttention, FFN
         from .encoder import get_reference_points_2d
-        b, h, w, c = bev_feat.shape
-        memory = bev_feat.reshape(b, h * w, c)
-        level_embed = self.param("level_embed",
-                                 nn.initializers.normal(1.0),
-                                 (1, self.embed_dims))
-        memory = memory + level_embed[None]
-        # deformable self-refinement encoder (reference
-        # detr_transformer.py DetrTransformerEncoder: 6 x
-        # cross_attn->norm->ffn->norm over the single-scale BEV)
-        ref = jnp.asarray(get_reference_points_2d(h, w))[:, 0, :]
+        b = mlvl_feats[0].shape[0]
+        self.param("level_embed", nn.initializers.normal(1.0),
+                   (self.num_feature_levels, self.embed_dims))
+        shapes = []
+        flat = []
+        for f in mlvl_feats:
+            _, h, w, c = f.shape
+            shapes.append((h, w))
+            flat.append(f.reshape(b, h * w, c))
+        feat_flatten = jnp.concatenate(flat, axis=1)
+        shapes = tuple(shapes)
+
+        bev = jnp.broadcast_to(bev_queries[None], (b,) + bev_queries.shape)
+        bev_pos_b = jnp.broadcast_to(bev_pos[None], (b,) + bev_pos.shape)
+        # reference get_reference_points: bev-grid centers normalized by
+        # bev_size, shared across levels (detr_transformer.py:134-160)
+        ref = jnp.asarray(get_reference_points_2d(
+            self.bev_size, self.bev_size))[:, 0, :]
         ref = jnp.broadcast_to(ref[None], (b,) + ref.shape)
         for i in range(self.num_encoder_layers):
-            memory = CustomMSDeformableAttention(
-                embed_dims=self.embed_dims, num_levels=1,
+            bev = CustomMSDeformableAttention(
+                embed_dims=self.embed_dims, num_levels=len(shapes),
                 dropout=self.dropout,
-                name=f"enc_attn_{i}")(memory, memory, ref, ((h, w),),
-                                      train=train)
-            memory = nn.LayerNorm(name=f"enc_norm1_{i}")(memory)
-            memory = FFN(embed_dims=self.embed_dims,
-                         feedforward_channels=self.feedforward_channels,
-                         dropout=self.dropout,
-                         name=f"enc_ffn_{i}")(memory, train=train)
-            memory = nn.LayerNorm(name=f"enc_norm2_{i}")(memory)
+                name=f"enc_attn_{i}")(bev, feat_flatten, ref, shapes,
+                                      query_pos=bev_pos_b, train=train)
+            bev = nn.LayerNorm(name=f"enc_norm1_{i}")(bev)
+            bev = FFN(embed_dims=self.embed_dims,
+                      feedforward_channels=self.feedforward_channels,
+                      dropout=self.dropout,
+                      name=f"enc_ffn_{i}")(bev, train=train)
+            bev = nn.LayerNorm(name=f"enc_norm2_{i}")(bev)
+        memory = bev
         query_pos, query = jnp.split(object_query_embed, 2, axis=-1)
         query_pos = jnp.broadcast_to(query_pos[None],
                                      (b,) + query_pos.shape)
         query = jnp.broadcast_to(query[None], (b,) + query.shape)
-        ref = nn.Dense(3, name="reference_points")(query_pos)
-        reference_points = jax.nn.sigmoid(ref)
+        ref_q = nn.Dense(3, name="reference_points")(query_pos)
+        reference_points = jax.nn.sigmoid(ref_q)
         decoder = self._build_decoder()
         inter_states, inter_refs = decoder(
-            query, memory, query_pos, reference_points, ((h, w),),
+            query, memory, query_pos, reference_points,
+            ((self.bev_size, self.bev_size),),
             reg_branch=reg_branch, train=train)
         return memory, inter_states, reference_points, inter_refs

@@ -1,0 +1,72 @@
+"""Modulated deformable convolution v2 (DCNv2) — TPU-native.
+
+Capability parity with the reference's mmcv ``ModulatedDeformConv2dPack``
+sites (reference: centerpoint_head.py:125-243 DCN feature adaptation,
+view_transformer_mine.py:298-308 depth-net DCN stage; CUDA kernel in
+mmcv/ops/modulated_deform_conv.py).
+
+TPU-native formulation: instead of the CUDA per-pixel im2col gather
+kernel, the K = kh*kw sampling locations are evaluated with the shared
+bilinear sampler (4 vectorized corner gathers over the flattened spatial
+axis), modulation is a broadcast multiply, and the conv itself becomes a
+single ``[B*H*W, K*C] x [K*C, C_out]`` matmul on the MXU.  Everything is
+static-shape and fully differentiable (gathers transpose to scatters in
+the VJP automatically).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .grid_sample import bilinear_sample_pixels
+
+
+def modulated_deform_conv2d(x: jnp.ndarray,
+                            offset: jnp.ndarray,
+                            mask: jnp.ndarray,
+                            weight: jnp.ndarray,
+                            bias: Optional[jnp.ndarray] = None,
+                            stride: int = 1,
+                            dilation: int = 1) -> jnp.ndarray:
+    """DCNv2 forward.
+
+    Args:
+        x: [B, H, W, C] input (channels-last).
+        offset: [B, Ho, Wo, 2*K] learned offsets, tap-major pairs
+            (dy, dx) in row-major kernel order (mmcv channel layout).
+        mask: [B, Ho, Wo, K] modulation scalars (already sigmoided).
+        weight: [kh, kw, C, C_out].
+        bias: optional [C_out].
+
+    Returns [B, Ho, Wo, C_out].
+    """
+    b, h, w, c = x.shape
+    kh, kw, _, c_out = weight.shape
+    k = kh * kw
+    _, ho, wo, _ = offset.shape
+    pad_h = (kh - 1) * dilation // 2
+    pad_w = (kw - 1) * dilation // 2
+
+    # base sampling grid per output pixel and tap
+    oy = jnp.arange(ho, dtype=x.dtype) * stride - pad_h
+    ox = jnp.arange(wo, dtype=x.dtype) * stride - pad_w
+    ty = jnp.repeat(jnp.arange(kh, dtype=x.dtype) * dilation, kw)  # [K]
+    tx = jnp.tile(jnp.arange(kw, dtype=x.dtype) * dilation, kh)    # [K]
+
+    off = offset.reshape(b, ho, wo, k, 2)
+    py = oy[None, :, None, None] + ty[None, None, None, :] + off[..., 0]
+    px = ox[None, None, :, None] + tx[None, None, None, :] + off[..., 1]
+
+    samples = bilinear_sample_pixels(
+        x, px.reshape(b, ho, wo * k), py.reshape(b, ho, wo * k))
+    samples = samples.reshape(b, ho, wo, k, c)
+    samples = samples * mask[..., None]
+
+    out = jnp.einsum("bhwkc,kco->bhwo", samples,
+                     weight.reshape(k, c, c_out),
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        out = out + bias
+    return out

@@ -70,11 +70,12 @@ def tiny_lidarformer_cfg():
                       out_channels=EMBED, num_outs=2),
         pts_bbox_head=dict(
             type="DGCNN3DHead", num_classes=4, embed_dims=EMBED,
-            num_query=12, pc_range=PCR,
+            num_query=12, pc_range=PCR, bev_h=16, bev_w=16,
             code_weights=[1.0] * 8 + [0.2, 0.2],
             transformer=dict(type="DeformableDetrTransformerDistill",
                              embed_dims=EMBED, num_encoder_layers=1,
                              feedforward_channels=64,
+                             num_feature_levels=2,
                              decoder=dict(num_layers=2,
                                           embed_dims=EMBED, num_heads=4,
                                           feedforward_channels=64)),

@@ -174,9 +174,13 @@ def bevdepth4d_name_map(depth: int = 50) -> Tuple[Dict, Dict]:
                 "downsample_conv", "kernel")
             pm[f"{t_blk}.downsample.bias"] = f_blk + (
                 "downsample_conv", "bias")
-    # dcn stand-in + bn (reference img_view_transformer.dcn.0/.1)
-    pm[f"{vt}dcn.0.weight"] = fvt + ("dcn_conv", "kernel")
-    pm[f"{vt}dcn.0.bias"] = fvt + ("dcn_conv", "bias")
+    # true DCNv2 + bn (reference img_view_transformer.dcn.0/.1 is an
+    # mmcv ModulatedDeformConv2dPack: weight + conv_offset conv)
+    pm[f"{vt}dcn.0.weight"] = fvt + ("dcn_conv", "weight")
+    pm[f"{vt}dcn.0.conv_offset.weight"] = fvt + (
+        "dcn_conv", "conv_offset", "kernel")
+    pm[f"{vt}dcn.0.conv_offset.bias"] = fvt + (
+        "dcn_conv", "conv_offset", "bias")
     pm.update(bn_name_map(f"{vt}dcn.1", fvt + ("dcn_bn",), sm))
     # bev encoder backbone: ResNetForBEVDet default num_layer [2,2,2]
     for i in range(3):
