@@ -79,28 +79,40 @@ class FPN(nn.Module):
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
+        from ..layers import make_norm
+        use_norm = self.norm_cfg is not None
+
+        def conv_norm(x, ks, name, strides=(1, 1)):
+            pad = ((ks // 2,) * 2,) * 2
+            y = nn.Conv(self.out_channels, (ks, ks), strides=strides,
+                        padding=pad, use_bias=not use_norm,
+                        name=name)(x)
+            if use_norm:
+                y = make_norm(dict(self.norm_cfg))(name=f"{name}_bn")(
+                    y, use_running_average=not train)
+            return y
+
         used = feats[self.start_level:]
-        laterals = [
-            nn.Conv(self.out_channels, (1, 1), name=f"lateral_{i}")(f)
-            for i, f in enumerate(used)
-        ]
+        laterals = [conv_norm(f, 1, f"lateral_{i}")
+                    for i, f in enumerate(used)]
         for i in range(len(laterals) - 1, 0, -1):
             up = _resize_to(laterals[i], laterals[i - 1].shape[1:3])
             laterals[i - 1] = laterals[i - 1] + up
-        outs = [
-            nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    name=f"fpn_conv_{i}")(laterals[i])
-            for i in range(len(laterals))
-        ]
-        # extra levels by stride-2 conv on the last output
+        outs = [conv_norm(laterals[i], 3, f"fpn_conv_{i}")
+                for i in range(len(laterals))]
+        # extra levels: mmdet default (add_extra_convs=False) subsamples
+        # the last output with a stride-2 1x1 maxpool; conv variants add
+        # parametrized stride-2 convs
         extra_source = outs[-1]
         for i in range(len(outs), self.num_outs):
+            if not self.add_extra_convs:
+                outs.append(extra_source[:, ::2, ::2, :])
+                extra_source = outs[-1]
+                continue
             if self.relu_before_extra_convs:
                 extra_source = nn.relu(extra_source)
-            extra_source = nn.Conv(
-                self.out_channels, (3, 3), strides=(2, 2),
-                padding=((1, 1), (1, 1)), name=f"extra_conv_{i}")(
-                extra_source)
+            extra_source = conv_norm(extra_source, 3, f"extra_conv_{i}",
+                                     strides=(2, 2))
             outs.append(extra_source)
         return tuple(outs)
 

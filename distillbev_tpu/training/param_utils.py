@@ -130,13 +130,40 @@ def map_params(torch_flat: Dict[str, np.ndarray],
         if tname not in torch_flat:
             missing.append(tname)
             continue
-        arr = convert_tensor(tname, torch_flat[tname])
+        raw = np.asarray(torch_flat[tname])
         if path not in out:
             missing.append("/".join(path))
             continue
-        if np.shape(out[path]) != arr.shape:
-            mismatched.append((tname, arr.shape, np.shape(out[path])))
-            continue
+        dst = np.shape(out[path])
+        if raw.ndim == 4 and len(dst) == 4 and \
+                any("deconv" in str(p) for p in path[-2:]):
+            # torch ConvTranspose2d (in, out, kh, kw) -> flax
+            # ConvTranspose (kh, kw, in, out)
+            arr = raw.transpose(2, 3, 0, 1)
+        else:
+            arr = convert_tensor(tname, raw)
+        if arr.shape != dst:
+            # layout fallbacks, in safety order:
+            # 1. raw exact — embeddings / tensors already in our layout
+            #    (torch nn.Embedding [N, E] must NOT be transposed);
+            # 2. raw 5-D -> 3-D reshape — spconv weights are stored
+            #    (kd, kh, kw, in, out), ours are (K, in, out);
+            # 3. cross-rank reshape of the converted tensor — torch MHA
+            #    in_proj/out_proj 2-D [out, in] -> flax DenseGeneral
+            #    (in, heads, head_dim) / (heads, head_dim, out) after
+            #    the standard transpose.  Same-rank mismatches stay
+            #    errors (a silent reshape would scramble layouts).
+            if raw.shape == dst:
+                arr = raw
+            elif raw.ndim == 5 and len(dst) == 3 and \
+                    raw.size == int(np.prod(dst)):
+                arr = raw.reshape(dst)
+            elif arr.ndim != len(dst) and \
+                    arr.size == int(np.prod(dst)):
+                arr = arr.reshape(dst)
+            else:
+                mismatched.append((tname, arr.shape, dst))
+                continue
         out[path] = arr
     return unflatten_tree(out), missing, mismatched
 

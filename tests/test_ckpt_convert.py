@@ -134,3 +134,102 @@ def test_bevdepth4d_name_map_targets_exist(rng):
     assert covered / len(student_paths) > 0.95, (
         covered, len(student_paths),
         [p for p in student_paths if p not in targets][:10])
+
+
+def test_lidarformer_name_map_coverage(rng):
+    """Synthesize a torch-layout LidarFormer state_dict from the name
+    map and require it to cover the flax tree (spconv reshape, MHA
+    in_proj split, embeddings, deformable attention, branches)."""
+    import jax.numpy as jnp
+    from test_model_bevformer import tiny_lidarformer_cfg
+    from tools.model_converters.convert_torch_ckpt import (
+        lidarformer_name_map, split_mha_in_proj)
+
+    cfg = tiny_lidarformer_cfg()
+    me = dict(cfg["pts_middle_encoder"])
+    me["block_type"] = "basicblock"
+    # basicblock stages change channels at their strided LAST block
+    # (reference encoder_channels style), not at j==0
+    me["encoder_channels"] = ((8, 8), (8, 16), (16, 16), (16,))
+    me["encoder_paddings"] = ((1, 1), (1, 1), (1, 1), (1,))
+    cfg = dict(cfg, pts_middle_encoder=me)
+    model = build_detector(cfg)
+    pts = np.zeros((1, 128, 4), np.float32)
+    mask = np.ones((1, 128), bool)
+    variables = model.init(jax.random.PRNGKey(0), pts, mask)
+    flat = flatten_tree(variables["params"])
+
+    pm, sm = lidarformer_name_map(
+        encoder_channels=me["encoder_channels"],
+        block_type="basicblock", second_layers=(1, 1),
+        fpn_levels=2, num_enc_layers=1, num_dec_layers=2)
+
+    fake = {}
+    for tname, path in pm.items():
+        if path not in flat:
+            continue
+        shape = np.shape(flat[path])
+        base = tname.split("#")[0]
+        if base in fake:
+            continue
+        if len(shape) == 3 and base.startswith("pts_middle_encoder"):
+            # spconv (K, in, out) -> (kd, kh, kw, in, out)
+            if shape[0] == 27:
+                t_shape = (3, 3, 3) + shape[1:]
+            else:
+                t_shape = (3, 1, 1) + shape[1:]
+        elif ".attn." in base:
+            continue  # handled via packed in_proj below
+        elif "embedding" in base or base.endswith("level_embeds"):
+            t_shape = shape
+        elif len(shape) == 4:
+            t_shape = (shape[3], shape[2], shape[0], shape[1])
+        elif len(shape) == 2:
+            t_shape = (shape[1], shape[0])
+        else:
+            t_shape = shape
+        fake[base] = rng.randn(*t_shape).astype(np.float32)
+    # packed MHA tensors
+    embed = cfg["pts_bbox_head"]["embed_dims"]
+    for i in range(2):
+        b = (f"pts_bbox_head.transformer.decoder.layers.{i}"
+             ".attentions.0.attn")
+        fake[f"{b}.in_proj_weight"] = rng.randn(
+            3 * embed, embed).astype(np.float32)
+        fake[f"{b}.in_proj_bias"] = rng.randn(
+            3 * embed).astype(np.float32)
+        fake[f"{b}.out_proj.weight"] = rng.randn(
+            embed, embed).astype(np.float32)
+        fake[f"{b}.out_proj.bias"] = rng.randn(
+            embed).astype(np.float32)
+    fake = split_mha_in_proj(fake)
+    for k in list(pm):
+        if "#" in k and k.split("#")[0] in fake:
+            fake[k] = fake[k.split("#")[0]]
+
+    params, missing, mismatched = map_params(fake, pm,
+                                             variables["params"])
+    assert not mismatched, mismatched[:5]
+    mapped = [t for t in pm if t in fake]
+    assert len(mapped) > 60, len(mapped)
+
+    # every flax param under the mapped modules is covered
+    targets = {tuple(p) for p in pm.values()}
+    uncovered = [p for p in flat
+                 if p not in targets and p[0] != "voxel_encoder"]
+    assert not uncovered, uncovered[:10]
+
+    # spot-check: spconv reshape keeps raw row-major order
+    t = "pts_middle_encoder.conv_input.0.weight"
+    got = flatten_tree(params)[("middle_encoder", "conv_input",
+                                "kernel")]
+    assert np.allclose(np.asarray(got),
+                       fake[t].reshape(np.shape(got)))
+    # spot-check: MHA query kernel is [E,E] transposed then reshaped
+    b0 = ("pts_bbox_head.transformer.decoder.layers.0"
+          ".attentions.0.attn.q_proj.weight")
+    gotq = flatten_tree(params)[
+        ("bbox_head", "transformer", "decoder", "layer_0",
+         "self_attn", "attn", "query", "kernel")]
+    assert np.allclose(np.asarray(gotq),
+                       fake[b0].T.reshape(np.shape(gotq)))

@@ -236,6 +236,194 @@ def bevdepth4d_name_map(depth: int = 50) -> Tuple[Dict, Dict]:
     return pm, sm
 
 
+def _deform_attn_map(pm, t_attn: str, f_attn: Tuple[str, ...]):
+    """mmcv (Custom)MultiScaleDeformableAttention -> our
+    CustomMSDeformableAttention (attention.py:240).  The torch
+    sampling_offsets Linear's bias carries the grid init; ours is the
+    separate ``sampling_offsets_bias`` param."""
+    pm[f"{t_attn}.sampling_offsets.weight"] = f_attn + (
+        "sampling_offsets", "kernel")
+    pm[f"{t_attn}.sampling_offsets.bias"] = f_attn + (
+        "sampling_offsets_bias",)
+    for lin in ("attention_weights", "value_proj", "output_proj"):
+        pm[f"{t_attn}.{lin}.weight"] = f_attn + (lin, "kernel")
+        pm[f"{t_attn}.{lin}.bias"] = f_attn + (lin, "bias")
+
+
+def _ln_map(pm, t_ln: str, f_ln: Tuple[str, ...]):
+    pm[f"{t_ln}.weight"] = f_ln + ("scale",)
+    pm[f"{t_ln}.bias"] = f_ln + ("bias",)
+
+
+def _ffn_map(pm, t_ffn: str, f_ffn: Tuple[str, ...]):
+    """mmcv FFN: layers.0 = Sequential(Linear, act, drop); layers.1 =
+    Linear."""
+    pm[f"{t_ffn}.layers.0.0.weight"] = f_ffn + ("fc1", "kernel")
+    pm[f"{t_ffn}.layers.0.0.bias"] = f_ffn + ("fc1", "bias")
+    pm[f"{t_ffn}.layers.1.weight"] = f_ffn + ("fc2", "kernel")
+    pm[f"{t_ffn}.layers.1.bias"] = f_ffn + ("fc2", "bias")
+
+
+def lidarformer_name_map(
+        encoder_channels=((16, 16, 32), (32, 32, 64), (64, 64, 128),
+                          (128, 128)),
+        block_type: str = "basicblock",
+        second_layers=(5, 5),
+        fpn_levels: int = 2,
+        num_enc_layers: int = 6,
+        num_dec_layers: int = 6,
+        num_reg_fcs: int = 2) -> Tuple[Dict, Dict]:
+    """Reference LidarFormer/MVPFormer state_dict -> our flax tree
+    (reference modules: HardSimpleVFE (param-free), spconv SparseEncoder
+    (sparse_encoder.py:11-205), SECOND, mmdet FPN, DGCNN3DHead with
+    DeformableDetrTransformerDistill (dgcnn3d_head.py:18-510,
+    detr_transformer.py:20-330)).
+
+    spconv weights are (kd, kh, kw, in, out); map_params reshapes them
+    onto our (K, in, out) kernels (same row-major tap order — our
+    rulebook enumerates (dz, dy, dx) offsets in C order).
+    MultiheadAttention in_proj tensors are pre-split by ``convert`` into
+    q/k/v entries before mapping."""
+    pm: Dict = {}
+    sm: Dict = {}
+    me = "pts_middle_encoder."
+    fme = ("middle_encoder",)
+    pm[f"{me}conv_input.0.weight"] = fme + ("conv_input", "kernel")
+    pm.update(bn_name_map(f"{me}conv_input.1",
+                          fme + ("conv_input", "norm"), sm))
+    n_stages = len(encoder_channels)
+    for i, blocks in enumerate(encoder_channels):
+        for j in range(len(blocks)):
+            t_blk = f"{me}encoder_layers.encoder_layer{i + 1}.{j}"
+            f_blk = fme + (f"encoder_{i}_{j}",)
+            strided = (
+                (block_type == "conv_module" and i != 0 and j == 0) or
+                (block_type == "basicblock" and
+                 j == len(blocks) - 1 and i != n_stages - 1))
+            if block_type == "basicblock" and not strided:
+                # SparseBasicBlock: our conv{ci} is a SparseConvModule
+                # holding both the kernel and its norm
+                for ci in (1, 2):
+                    pm[f"{t_blk}.conv{ci}.weight"] = f_blk + (
+                        f"conv{ci}", "kernel")
+                    pm.update(bn_name_map(
+                        f"{t_blk}.bn{ci}",
+                        f_blk + (f"conv{ci}", "norm"), sm))
+            else:
+                pm[f"{t_blk}.0.weight"] = f_blk + ("kernel",)
+                pm.update(bn_name_map(f"{t_blk}.1", f_blk + ("norm",),
+                                      sm))
+    pm[f"{me}conv_out.0.weight"] = fme + ("conv_out", "kernel")
+    pm.update(bn_name_map(f"{me}conv_out.1", fme + ("conv_out", "norm"),
+                          sm))
+    # SECOND backbone (same structure as the CenterPoint map)
+    for i, n in enumerate(second_layers):
+        for j in range(n + 1):
+            pm[f"pts_backbone.blocks.{i}.{j * 3}.weight"] = (
+                "backbone", f"stage{i}_conv{j}", "conv", "kernel")
+            pm.update(bn_name_map(
+                f"pts_backbone.blocks.{i}.{j * 3 + 1}",
+                ("backbone", f"stage{i}_conv{j}", "norm"), sm))
+    # mmdet FPN (with norm: ConvModule conv(bias-free) + bn)
+    for i in range(fpn_levels):
+        for group, fname in (("lateral_convs", f"lateral_{i}"),
+                             ("fpn_convs", f"fpn_conv_{i}")):
+            pm[f"pts_neck.{group}.{i}.conv.weight"] = (
+                "neck", fname, "kernel")
+            pm[f"pts_neck.{group}.{i}.conv.bias"] = (
+                "neck", fname, "bias")
+            pm.update(bn_name_map(f"pts_neck.{group}.{i}.bn",
+                                  ("neck", f"{fname}_bn"), sm))
+    # DGCNN3DHead
+    hd = "pts_bbox_head."
+    fh = ("bbox_head",)
+    pm[f"{hd}bev_embedding.weight"] = fh + ("bev_embedding",)
+    pm[f"{hd}query_embedding.weight"] = fh + ("query_embedding",)
+    for p in range(num_dec_layers):
+        # cls branch: [Linear, LN, ReLU] * num_reg_fcs + Linear
+        for fc in range(num_reg_fcs):
+            pm[f"{hd}cls_branches.{p}.{fc * 3}.weight"] = fh + (
+                f"cls_{p}_fc{fc}", "kernel")
+            pm[f"{hd}cls_branches.{p}.{fc * 3}.bias"] = fh + (
+                f"cls_{p}_fc{fc}", "bias")
+            _ln_map(pm, f"{hd}cls_branches.{p}.{fc * 3 + 1}",
+                    fh + (f"cls_{p}_ln{fc}",))
+        pm[f"{hd}cls_branches.{p}.{num_reg_fcs * 3}.weight"] = fh + (
+            f"cls_{p}_out", "kernel")
+        pm[f"{hd}cls_branches.{p}.{num_reg_fcs * 3}.bias"] = fh + (
+            f"cls_{p}_out", "bias")
+        # reg branch: [Linear, ReLU] * num_reg_fcs + Linear — shared
+        # with the decoder's box-refinement copies (torch shares the
+        # module objects; we duplicate the tensors)
+        for fc in range(num_reg_fcs):
+            for dest in (fh, fh + ("transformer", "decoder")):
+                pm[f"{hd}reg_branches.{p}.{fc * 2}.weight"
+                   + ("#dec" if len(dest) > 1 else "")] = dest + (
+                    f"reg_{p}_fc{fc}", "kernel")
+                pm[f"{hd}reg_branches.{p}.{fc * 2}.bias"
+                   + ("#dec" if len(dest) > 1 else "")] = dest + (
+                    f"reg_{p}_fc{fc}", "bias")
+        for dest in (fh, fh + ("transformer", "decoder")):
+            pm[f"{hd}reg_branches.{p}.{num_reg_fcs * 2}.weight"
+               + ("#dec" if len(dest) > 1 else "")] = dest + (
+                f"reg_{p}_out", "kernel")
+            pm[f"{hd}reg_branches.{p}.{num_reg_fcs * 2}.bias"
+               + ("#dec" if len(dest) > 1 else "")] = dest + (
+                f"reg_{p}_out", "bias")
+    # transformer
+    tr = f"{hd}transformer."
+    ft = fh + ("transformer",)
+    pm[f"{tr}level_embeds"] = ft + ("level_embed",)
+    pm[f"{tr}reference_points.weight"] = ft + ("reference_points",
+                                               "kernel")
+    pm[f"{tr}reference_points.bias"] = ft + ("reference_points", "bias")
+    for i in range(num_enc_layers):
+        t_l = f"{tr}encoder.layers.{i}"
+        _deform_attn_map(pm, f"{t_l}.attentions.0",
+                         ft + (f"enc_attn_{i}",))
+        _ln_map(pm, f"{t_l}.norms.0", ft + (f"enc_norm1_{i}",))
+        _ln_map(pm, f"{t_l}.norms.1", ft + (f"enc_norm2_{i}",))
+        _ffn_map(pm, f"{t_l}.ffns.0", ft + (f"enc_ffn_{i}",))
+    for i in range(num_dec_layers):
+        t_l = f"{tr}decoder.layers.{i}"
+        f_l = ft + ("decoder", f"layer_{i}")
+        # self-attn: torch nn.MultiheadAttention (in_proj pre-split by
+        # convert into q/k/v entries)
+        for t_n, f_n in (("q_proj", "query"), ("k_proj", "key"),
+                         ("v_proj", "value")):
+            pm[f"{t_l}.attentions.0.attn.{t_n}.weight"] = f_l + (
+                "self_attn", "attn", f_n, "kernel")
+            pm[f"{t_l}.attentions.0.attn.{t_n}.bias"] = f_l + (
+                "self_attn", "attn", f_n, "bias")
+        pm[f"{t_l}.attentions.0.attn.out_proj.weight"] = f_l + (
+            "self_attn", "attn", "out", "kernel")
+        pm[f"{t_l}.attentions.0.attn.out_proj.bias"] = f_l + (
+            "self_attn", "attn", "out", "bias")
+        _deform_attn_map(pm, f"{t_l}.attentions.1",
+                         f_l + ("cross_attn",))
+        for ni, f_n in ((0, "norm1"), (1, "norm2"), (2, "norm3")):
+            _ln_map(pm, f"{t_l}.norms.{ni}", f_l + (f_n,))
+        _ffn_map(pm, f"{t_l}.ffns.0", f_l + ("ffn",))
+    return pm, sm
+
+
+def split_mha_in_proj(torch_flat: Dict) -> Dict:
+    """Split torch nn.MultiheadAttention packed in_proj tensors into
+    q/k/v entries so the name map can address them individually."""
+    import numpy as np
+    out = dict(torch_flat)
+    for k in list(torch_flat):
+        if k.endswith(".in_proj_weight") or k.endswith(".in_proj_bias"):
+            arr = np.asarray(torch_flat[k])
+            parts = np.split(arr, 3, axis=0)
+            kind = "weight" if k.endswith("weight") else "bias"
+            base = k.rsplit(".in_proj_", 1)[0]
+            for name, part in zip(("q_proj", "k_proj", "v_proj"), parts):
+                out[f"{base}.{name}.{kind}"] = part
+            del out[k]
+    return out
+
+
 def torchvision_resnet_map(depth: int = 50) -> Tuple[Dict, Dict]:
     """Plain torchvision resnet{depth} checkpoint -> img backbone subtree
     (for pretrained init, reference cfg pretrained=resnet50-19c8e357.pth)."""
@@ -245,6 +433,7 @@ def torchvision_resnet_map(depth: int = 50) -> Tuple[Dict, Dict]:
 NAME_MAPS = {
     "centerpoint_pillar": centerpoint_pillar_name_map,
     "bevdepth4d": bevdepth4d_name_map,
+    "lidarformer": lidarformer_name_map,
     "torchvision_resnet50": lambda: torchvision_resnet_map(50),
     "torchvision_resnet101": lambda: torchvision_resnet_map(101),
 }
@@ -267,10 +456,17 @@ def convert(ckpt_path: str, model_type: str, config_path: str,
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), pts, mask)
 
     torch_flat = load_torch_checkpoint(ckpt_path)
+    torch_flat = split_mha_in_proj(torch_flat)
     pm, sm = NAME_MAPS[model_type]()
-    # resolve deconv-vs-conv alias entries by checking presence
-    pm = {k.split("#")[0]: v for k, v in pm.items()
-          if "#" not in k or k.split("#")[0] in torch_flat}
+    # "#tag" map entries fan one torch tensor out to several flax paths
+    # (weight sharing) or offer alternative targets (deconv-vs-conv
+    # deblocks — the wrong-layout one is simply absent from the model
+    # tree and reported missing): materialize the alias in torch_flat
+    for k in list(pm):
+        if "#" in k:
+            base = k.split("#")[0]
+            if base in torch_flat:
+                torch_flat[k] = torch_flat[base]
     params, missing_p, bad_p = map_params(torch_flat, pm,
                                           variables["params"])
     stats, missing_s, bad_s = map_params(torch_flat, sm,
