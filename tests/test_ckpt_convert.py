@@ -233,3 +233,63 @@ def test_lidarformer_name_map_coverage(rng):
          "self_attn", "attn", "query", "kernel")]
     assert np.allclose(np.asarray(gotq),
                        fake[b0].T.reshape(np.shape(gotq)))
+
+
+def test_bevformer_name_map_coverage(rng):
+    """Synthesized torch BEVFormer state_dict must cover the flax tree
+    (TSA/SCA attention split, can_bus MLP, embeddings, branches)."""
+    import jax.numpy as jnp
+    from test_model_bevformer import tiny_bevformer_cfg, cam_inputs
+    from tools.model_converters.convert_torch_ckpt import (
+        bevformer_name_map, split_mha_in_proj)
+
+    model = build_detector(tiny_bevformer_cfg())
+    imgs, can_bus, l2i, prev = cam_inputs(rng)
+    variables = model.init(jax.random.PRNGKey(0), imgs, can_bus, l2i,
+                           prev)
+    flat = flatten_tree(variables["params"])
+
+    pm, sm = bevformer_name_map(depth=18, fpn_levels=2,
+                                num_enc_layers=2, num_dec_layers=2)
+
+    fake = {}
+    for tname, path in pm.items():
+        if path not in flat:
+            continue
+        base = tname.split("#")[0]
+        if base in fake or ".attn." in base:
+            continue
+        shape = np.shape(flat[path])
+        if "embed" in base.rsplit(".", 2)[-2] or \
+                base.endswith(("level_embeds", "cams_embeds")):
+            t_shape = shape
+        elif len(shape) == 4:
+            t_shape = (shape[3], shape[2], shape[0], shape[1])
+        elif len(shape) == 2:
+            t_shape = (shape[1], shape[0])
+        else:
+            t_shape = shape
+        fake[base] = rng.randn(*t_shape).astype(np.float32)
+    embed = 32
+    for i in range(2):
+        b = (f"pts_bbox_head.transformer.decoder.layers.{i}"
+             ".attentions.0.attn")
+        fake[f"{b}.in_proj_weight"] = rng.randn(
+            3 * embed, embed).astype(np.float32)
+        fake[f"{b}.in_proj_bias"] = rng.randn(
+            3 * embed).astype(np.float32)
+        fake[f"{b}.out_proj.weight"] = rng.randn(
+            embed, embed).astype(np.float32)
+        fake[f"{b}.out_proj.bias"] = rng.randn(embed).astype(np.float32)
+    fake = split_mha_in_proj(fake)
+    for k in list(pm):
+        if "#" in k and k.split("#")[0] in fake:
+            fake[k] = fake[k.split("#")[0]]
+
+    params, missing, mismatched = map_params(fake, pm,
+                                             variables["params"])
+    assert not mismatched, mismatched[:5]
+
+    targets = {tuple(p) for p in pm.values()}
+    uncovered = [p for p in flat if p not in targets]
+    assert not uncovered, uncovered[:10]

@@ -339,37 +339,7 @@ def lidarformer_name_map(
     fh = ("bbox_head",)
     pm[f"{hd}bev_embedding.weight"] = fh + ("bev_embedding",)
     pm[f"{hd}query_embedding.weight"] = fh + ("query_embedding",)
-    for p in range(num_dec_layers):
-        # cls branch: [Linear, LN, ReLU] * num_reg_fcs + Linear
-        for fc in range(num_reg_fcs):
-            pm[f"{hd}cls_branches.{p}.{fc * 3}.weight"] = fh + (
-                f"cls_{p}_fc{fc}", "kernel")
-            pm[f"{hd}cls_branches.{p}.{fc * 3}.bias"] = fh + (
-                f"cls_{p}_fc{fc}", "bias")
-            _ln_map(pm, f"{hd}cls_branches.{p}.{fc * 3 + 1}",
-                    fh + (f"cls_{p}_ln{fc}",))
-        pm[f"{hd}cls_branches.{p}.{num_reg_fcs * 3}.weight"] = fh + (
-            f"cls_{p}_out", "kernel")
-        pm[f"{hd}cls_branches.{p}.{num_reg_fcs * 3}.bias"] = fh + (
-            f"cls_{p}_out", "bias")
-        # reg branch: [Linear, ReLU] * num_reg_fcs + Linear — shared
-        # with the decoder's box-refinement copies (torch shares the
-        # module objects; we duplicate the tensors)
-        for fc in range(num_reg_fcs):
-            for dest in (fh, fh + ("transformer", "decoder")):
-                pm[f"{hd}reg_branches.{p}.{fc * 2}.weight"
-                   + ("#dec" if len(dest) > 1 else "")] = dest + (
-                    f"reg_{p}_fc{fc}", "kernel")
-                pm[f"{hd}reg_branches.{p}.{fc * 2}.bias"
-                   + ("#dec" if len(dest) > 1 else "")] = dest + (
-                    f"reg_{p}_fc{fc}", "bias")
-        for dest in (fh, fh + ("transformer", "decoder")):
-            pm[f"{hd}reg_branches.{p}.{num_reg_fcs * 2}.weight"
-               + ("#dec" if len(dest) > 1 else "")] = dest + (
-                f"reg_{p}_out", "kernel")
-            pm[f"{hd}reg_branches.{p}.{num_reg_fcs * 2}.bias"
-               + ("#dec" if len(dest) > 1 else "")] = dest + (
-                f"reg_{p}_out", "bias")
+    _detr_branches_map(pm, hd, fh, num_dec_layers, num_reg_fcs)
     # transformer
     tr = f"{hd}transformer."
     ft = fh + ("transformer",)
@@ -384,11 +354,45 @@ def lidarformer_name_map(
         _ln_map(pm, f"{t_l}.norms.0", ft + (f"enc_norm1_{i}",))
         _ln_map(pm, f"{t_l}.norms.1", ft + (f"enc_norm2_{i}",))
         _ffn_map(pm, f"{t_l}.ffns.0", ft + (f"enc_ffn_{i}",))
+    _decoder_map(pm, tr, ft, num_dec_layers)
+    return pm, sm
+
+
+def _detr_branches_map(pm, hd: str, fh: Tuple[str, ...], num_pred: int,
+                       num_reg_fcs: int = 2):
+    """cls/reg branch clones of the DETR-style heads; reg tensors are
+    fanned out into the decoder's box-refinement copies (torch shares
+    the module objects)."""
+    for p in range(num_pred):
+        for fc in range(num_reg_fcs):
+            pm[f"{hd}cls_branches.{p}.{fc * 3}.weight"] = fh + (
+                f"cls_{p}_fc{fc}", "kernel")
+            pm[f"{hd}cls_branches.{p}.{fc * 3}.bias"] = fh + (
+                f"cls_{p}_fc{fc}", "bias")
+            _ln_map(pm, f"{hd}cls_branches.{p}.{fc * 3 + 1}",
+                    fh + (f"cls_{p}_ln{fc}",))
+        pm[f"{hd}cls_branches.{p}.{num_reg_fcs * 3}.weight"] = fh + (
+            f"cls_{p}_out", "kernel")
+        pm[f"{hd}cls_branches.{p}.{num_reg_fcs * 3}.bias"] = fh + (
+            f"cls_{p}_out", "bias")
+        for fc in range(num_reg_fcs + 1):
+            t_i = fc * 2 if fc < num_reg_fcs else num_reg_fcs * 2
+            f_n = f"reg_{p}_fc{fc}" if fc < num_reg_fcs else \
+                f"reg_{p}_out"
+            for tag, dest in (("", fh),
+                              ("#dec", fh + ("transformer", "decoder"))):
+                pm[f"{hd}reg_branches.{p}.{t_i}.weight{tag}"] = dest + (
+                    f_n, "kernel")
+                pm[f"{hd}reg_branches.{p}.{t_i}.bias{tag}"] = dest + (
+                    f_n, "bias")
+
+
+def _decoder_map(pm, tr: str, ft: Tuple[str, ...], num_dec_layers: int):
+    """DetectionTransformerDecoder layers (MultiheadAttention self-attn
+    pre-split by ``split_mha_in_proj`` + deformable cross-attn)."""
     for i in range(num_dec_layers):
         t_l = f"{tr}decoder.layers.{i}"
         f_l = ft + ("decoder", f"layer_{i}")
-        # self-attn: torch nn.MultiheadAttention (in_proj pre-split by
-        # convert into q/k/v entries)
         for t_n, f_n in (("q_proj", "query"), ("k_proj", "key"),
                          ("v_proj", "value")):
             pm[f"{t_l}.attentions.0.attn.{t_n}.weight"] = f_l + (
@@ -404,6 +408,69 @@ def lidarformer_name_map(
         for ni, f_n in ((0, "norm1"), (1, "norm2"), (2, "norm3")):
             _ln_map(pm, f"{t_l}.norms.{ni}", f_l + (f_n,))
         _ffn_map(pm, f"{t_l}.ffns.0", f_l + ("ffn",))
+
+
+def bevformer_name_map(depth: int = 50,
+                       fpn_levels: int = 4,
+                       num_enc_layers: int = 6,
+                       num_dec_layers: int = 6,
+                       num_reg_fcs: int = 2) -> Tuple[Dict, Dict]:
+    """Reference BEVFormer(Distill) student state_dict -> our flax tree
+    (reference modules: img_backbone mmdet ResNet, img_neck FPN,
+    pts_bbox_head BEVFormerHead (bevformer_head.py:40-120) with
+    PerceptionTransformer (perception_transformer.py:45-72): encoder
+    BEVFormerLayer = TemporalSelfAttention + SpatialCrossAttention
+    (inner MSDeformableAttention3D + outer output_proj), decoder =
+    DetectionTransformerDecoder)."""
+    pm, sm = resnet_name_map(depth, "img_backbone.", ("backbone",))
+    for i in range(fpn_levels):
+        for group, fname in (("lateral_convs", f"lateral_{i}"),
+                             ("fpn_convs", f"fpn_conv_{i}")):
+            pm[f"img_neck.{group}.{i}.conv.weight"] = ("neck", fname,
+                                                       "kernel")
+            pm[f"img_neck.{group}.{i}.conv.bias"] = ("neck", fname,
+                                                     "bias")
+    hd = "pts_bbox_head."
+    fh = ("bbox_head",)
+    pm[f"{hd}bev_embedding.weight"] = fh + ("bev_embedding",)
+    pm[f"{hd}query_embedding.weight"] = fh + ("query_embedding",)
+    pm[f"{hd}positional_encoding.row_embed.weight"] = fh + (
+        "positional_encoding", "row_embed")
+    pm[f"{hd}positional_encoding.col_embed.weight"] = fh + (
+        "positional_encoding", "col_embed")
+    _detr_branches_map(pm, hd, fh, num_dec_layers, num_reg_fcs)
+    tr = f"{hd}transformer."
+    ft = fh + ("transformer",)
+    pm[f"{tr}level_embeds"] = ft + ("level_embeds",)
+    pm[f"{tr}cams_embeds"] = ft + ("cams_embeds",)
+    pm[f"{tr}reference_points.weight"] = ft + ("reference_points",
+                                               "kernel")
+    pm[f"{tr}reference_points.bias"] = ft + ("reference_points", "bias")
+    pm[f"{tr}can_bus_mlp.0.weight"] = ft + ("can_bus_fc1", "kernel")
+    pm[f"{tr}can_bus_mlp.0.bias"] = ft + ("can_bus_fc1", "bias")
+    pm[f"{tr}can_bus_mlp.2.weight"] = ft + ("can_bus_fc2", "kernel")
+    pm[f"{tr}can_bus_mlp.2.bias"] = ft + ("can_bus_fc2", "bias")
+    _ln_map(pm, f"{tr}can_bus_mlp.norm", ft + ("can_bus_norm",))
+    for i in range(num_enc_layers):
+        t_l = f"{tr}encoder.layers.{i}"
+        f_l = ft + ("encoder", f"layer_{i}")
+        _deform_attn_map(pm, f"{t_l}.attentions.0", f_l + ("tsa",))
+        _deform_attn_map(pm, f"{t_l}.attentions.1.deformable_attention",
+                         f_l + ("sca", "deformable_attention"))
+        # the inner MSDeformableAttention3D has no output_proj; it lives
+        # on the SpatialCrossAttention wrapper
+        del pm[f"{t_l}.attentions.1.deformable_attention"
+               ".output_proj.weight"]
+        del pm[f"{t_l}.attentions.1.deformable_attention"
+               ".output_proj.bias"]
+        pm[f"{t_l}.attentions.1.output_proj.weight"] = f_l + (
+            "sca", "output_proj", "kernel")
+        pm[f"{t_l}.attentions.1.output_proj.bias"] = f_l + (
+            "sca", "output_proj", "bias")
+        for ni, f_n in ((0, "norm1"), (1, "norm2"), (2, "norm3")):
+            _ln_map(pm, f"{t_l}.norms.{ni}", f_l + (f_n,))
+        _ffn_map(pm, f"{t_l}.ffns.0", f_l + ("ffn",))
+    _decoder_map(pm, tr, ft, num_dec_layers)
     return pm, sm
 
 
@@ -434,6 +501,7 @@ NAME_MAPS = {
     "centerpoint_pillar": centerpoint_pillar_name_map,
     "bevdepth4d": bevdepth4d_name_map,
     "lidarformer": lidarformer_name_map,
+    "bevformer": bevformer_name_map,
     "torchvision_resnet50": lambda: torchvision_resnet_map(50),
     "torchvision_resnet101": lambda: torchvision_resnet_map(101),
 }
