@@ -501,6 +501,9 @@ NAME_MAPS = {
     "centerpoint_pillar": centerpoint_pillar_name_map,
     "bevdepth4d": bevdepth4d_name_map,
     "lidarformer": lidarformer_name_map,
+    # MVPFormer shares the map: its DynamicVoxelEncoder is param-free
+    # (reference dynamic_voxel_encoder.py:70-95, mean reduction only)
+    "mvpformer": lidarformer_name_map,
     "bevformer": bevformer_name_map,
     "torchvision_resnet50": lambda: torchvision_resnet_map(50),
     "torchvision_resnet101": lambda: torchvision_resnet_map(101),
