@@ -175,8 +175,10 @@ class DynamicCenterPoint(nn.Module):
         head_cfg.setdefault("test_cfg", (self.test_cfg or {}).get("pts"))
         self.bbox_head = build_head(head_cfg)
 
-    def extract_pts_feat(self, points, point_mask, train: bool = False
-                         ) -> FeatureBundle:
+    def _branch_canvas(self, points, point_mask, voxel_encoder,
+                       middle_encoder, train: bool):
+        """Dynamic voxelize + VFE + scatter for one point set; shared by
+        the single- and multi-branch variants."""
         import numpy as np
         vl = dict(self.pts_voxel_layer)
         vs = tuple(vl["voxel_size"])
@@ -194,9 +196,6 @@ class DynamicCenterPoint(nn.Module):
 
         p2v, vcoords, nvox = jax.vmap(per_sample)(points, point_mask)
 
-        def encode(pts, p2v_i, vc_i):
-            return self.voxel_encoder(pts, p2v_i, vc_i, self.max_voxels,
-                                      train=train)
         # voxel encoder holds params -> cannot vmap over module call with
         # shared params via jax.vmap directly; use nn.vmap-free loop via
         # folding batch into the point axis instead:
@@ -206,13 +205,19 @@ class DynamicCenterPoint(nn.Module):
                              b * self.max_voxels).reshape(-1)
         pts_flat = points.reshape(b * n, c)
         vcoords_flat = vcoords.reshape(b * self.max_voxels, 3)
-        vfeats = self.voxel_encoder(pts_flat, p2v_flat, vcoords_flat,
-                                    b * self.max_voxels,
-                                    valid=point_mask.reshape(-1),
-                                    train=train)
+        vfeats = voxel_encoder(pts_flat, p2v_flat, vcoords_flat,
+                               b * self.max_voxels,
+                               valid=point_mask.reshape(-1),
+                               train=train)
         vfeats = vfeats.reshape(b, self.max_voxels, -1)
         voxel_mask = jnp.arange(self.max_voxels)[None, :] < nvox[:, None]
-        canvas = self.middle_encoder(vfeats, vcoords, voxel_mask)
+        return middle_encoder(vfeats, vcoords, voxel_mask)
+
+    def extract_pts_feat(self, points, point_mask, train: bool = False
+                         ) -> FeatureBundle:
+        canvas = self._branch_canvas(points, point_mask,
+                                     self.voxel_encoder,
+                                     self.middle_encoder, train)
         feats = self.backbone(canvas, train=train)
         neck = self.neck(feats, train=train)
         return FeatureBundle(canvas, feats, neck)
@@ -229,3 +234,79 @@ class DynamicCenterPoint(nn.Module):
 
     def get_bboxes(self, preds):
         return self.bbox_head.get_bboxes(preds)
+
+
+@DETECTORS.register_module()
+class DynamicMultiBranchCenterPoint(DynamicCenterPoint):
+    """Feature-level temporal point-cloud fusion
+    (reference dynamic_centerpoint.py:99-215): points are split by the
+    per-point time-lag channel into the current sweep (t < time_thres)
+    and prior sweeps; each branch gets its own dynamic voxelizer + VFE +
+    scatter (+ optional pre-process net), and the branch canvases are
+    fused (cat/add/avg) before the shared backbone.
+
+    TPU-native: boolean time masks replace the reference's boolean
+    indexing (static shapes); "no prior sweeps" falls back to the
+    current-sweep canvas with a traced where instead of Python control
+    flow.  ``repeat == 1`` as in the reference."""
+    pre_process: Any = None
+    repeat: int = 1
+    fuse: str = "cat"
+    max_multi_sweeps: Any = None
+    time_thres: Any = None
+
+    def setup(self):
+        super().setup()
+        n_branch = self.repeat + 1
+        self.branch_voxel_encoders = [
+            build_voxel_encoder(dict(self.pts_voxel_encoder))
+            for _ in range(self.repeat)]
+        self.branch_middle_encoders = [
+            build_middle_encoder(dict(self.pts_middle_encoder))
+            for _ in range(self.repeat)]
+        if self.pre_process:
+            self.pre_process_nets = [
+                build_backbone(dict(self.pre_process))
+                for _ in range(n_branch)]
+
+    def extract_pts_feat(self, points, point_mask, train: bool = False
+                         ) -> FeatureBundle:
+        assert self.repeat == 1, "reference supports repeat == 1"
+        t = points[..., 4]
+        thres = jnp.float32(self.time_thres)
+        # reference: past branch starts at the earliest prior-sweep
+        # timestamp >= time_thres (falls back to time_thres when none)
+        past = (t >= thres) & point_mask
+        big = jnp.float32(1e9)
+        min_past = jnp.min(jnp.where(past, t, big), axis=1,
+                           keepdims=True)
+        has_past = jnp.any(past, axis=1, keepdims=True)
+        split = jnp.where(has_past, jnp.minimum(min_past, big), thres)
+
+        cur_mask = point_mask & (t < split)
+        past_mask = point_mask & (t >= split)
+        canvases = [self._branch_canvas(points, cur_mask,
+                                        self.voxel_encoder,
+                                        self.middle_encoder, train)]
+        past_canvas = self._branch_canvas(points, past_mask,
+                                          self.branch_voxel_encoders[0],
+                                          self.branch_middle_encoders[0],
+                                          train)
+        # repeat the current canvas when a sample has no prior sweeps
+        gate = has_past[:, 0].reshape(-1, 1, 1, 1)
+        canvases.append(jnp.where(gate, past_canvas, canvases[0]))
+        if self.pre_process:
+            canvases = [net(cv, train=train)[0]
+                        for net, cv in zip(self.pre_process_nets,
+                                           canvases)]
+        if self.fuse == "cat":
+            canvas = jnp.concatenate(canvases, axis=-1)
+        elif self.fuse == "add":
+            canvas = sum(canvases)
+        elif self.fuse == "avg":
+            canvas = sum(canvases) / len(canvases)
+        else:
+            raise NotImplementedError(self.fuse)
+        feats = self.backbone(canvas, train=train)
+        neck = self.neck(feats, train=train)
+        return FeatureBundle(canvas, feats, neck)

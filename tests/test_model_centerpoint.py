@@ -178,3 +178,21 @@ def test_fused_pillar_path_matches_dense(rng):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(b1.neck_feat),
                                np.asarray(b2.neck_feat), atol=1e-4)
+
+
+def test_multibranch_centerpoint(rng):
+    """Temporal multi-branch fusion variant (reference
+    dynamic_centerpoint.py:99): split by time channel, fused canvases."""
+    cfg = dict(tiny_centerpoint_cfg(dynamic=True),
+               type="DynamicMultiBranchCenterPoint",
+               time_thres=0.05, max_multi_sweeps=10, fuse="cat")
+    det = build_detector(cfg)
+    pts = rng.uniform(-5, 5, (2, 256, 4)).astype(np.float32)
+    tlag = (rng.rand(2, 256, 1) * 0.1).astype(np.float32)
+    pts = jnp.asarray(np.concatenate([pts, tlag], -1))
+    mask = jnp.ones((2, 256), bool)
+    v = det.init(jax.random.PRNGKey(0), pts, mask)
+    preds, bundle = det.apply(v, pts, mask)
+    # cat fuse doubles canvas channels
+    assert bundle.canvas.shape == (2, 32, 32, 32)
+    assert preds[0]["heatmap"].shape == (2, 16, 16, 1)
