@@ -106,12 +106,19 @@ class CenterPoint(nn.Module):
                               b * v).reshape(-1)
         voxel_mask = (jnp.arange(v)[None, :] <
                       info.num_voxels[:, None])
+        # flat start rows: sample i's rows live at [i*n, (i+1)*n);
+        # per-sample sentinels (== n) become the flat sentinel b*n
+        row_off = jnp.arange(b, dtype=jnp.int32)[:, None] * n
+        start_rows_flat = jnp.where(info.start_rows < n,
+                                    info.start_rows + row_off,
+                                    b * n).reshape(-1)
         vf = self.voxel_encoder.encode_sorted(
             info.sorted_pts.reshape(b * n, c), vidx_flat,
             info.slot.reshape(-1), info.keep.reshape(-1),
             info.coords.reshape(b * v, 3),
             info.num_points.reshape(-1), b * v, max_points,
-            voxel_mask=voxel_mask.reshape(-1), train=train)
+            voxel_mask=voxel_mask.reshape(-1),
+            start_rows=start_rows_flat, train=train)
         vf = vf.reshape(b, v, -1)
         canvas = self.middle_encoder(vf, info.coords, voxel_mask)
         feats = self.backbone(canvas, train=train)

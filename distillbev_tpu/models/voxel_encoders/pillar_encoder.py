@@ -166,7 +166,8 @@ class PillarFeatureNet(nn.Module):
 
     def encode_sorted(self, sorted_pts, voxel_idx, slot, keep, coords,
                       num_points, num_segments: int, max_points: int,
-                      voxel_mask=None, train: bool = False):
+                      voxel_mask=None, start_rows=None,
+                      train: bool = False):
         """Fused pillar encoding straight from :func:`sorted_voxel_info`
         output — numerically identical to ``hard_voxelize`` +
         ``__call__`` (same kept point set, same masked statistics) but
@@ -185,11 +186,14 @@ class PillarFeatureNet(nn.Module):
         from ...ops.segmented import capped_segment_reduce
         n = sorted_pts.shape[0]
         cap = int(max_points)
-        row = jnp.arange(n, dtype=jnp.int32)
-        start = keep & (slot == 0)
-        start_rows = jnp.full((num_segments + 1,), n, jnp.int32).at[
-            jnp.where(start, voxel_idx, num_segments)].set(
-            row, mode="drop")[:-1]
+        if start_rows is None:
+            # fallback scatter (callers should pass searchsorted-derived
+            # start rows — a scatter walks all N update rows)
+            row = jnp.arange(n, dtype=jnp.int32)
+            start = keep & (slot == 0)
+            start_rows = jnp.full((num_segments + 1,), n, jnp.int32).at[
+                jnp.where(start, voxel_idx, num_segments)].set(
+                row, mode="drop")[:-1]
 
         feats = sorted_pts
         if self.virtual:

@@ -117,12 +117,17 @@ def segment_ids_from_starts(starts: jnp.ndarray) -> jnp.ndarray:
 
 
 def position_in_segment(starts: jnp.ndarray) -> jnp.ndarray:
-    """0-based position of each element within its segment."""
+    """0-based position of each element within its segment.
+
+    The running max of start positions needs no SEGMENTED scan: start
+    rows are the only nonzeros and positions are increasing, so a plain
+    ``lax.cummax`` (optimized TPU lowering) gives each row its own
+    segment's start index — far cheaper than the custom-combine
+    associative scan it replaces."""
     n = starts.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     start_pos = jnp.where(starts, idx, 0)
-    seg_start = segmented_cummax(start_pos, starts)
-    return idx - seg_start
+    return idx - jax.lax.cummax(start_pos)
 
 
 @partial(jax.jit, static_argnames=("cap", "num_segments", "reduce"))
