@@ -99,7 +99,8 @@ def _full(tree):
 
 def make_distill_train_step(student, teacher, tx,
                             use_depth_loss: bool = True,
-                            mixed_precision: bool = False) -> Callable:
+                            mixed_precision: bool = False,
+                            show_teacher_loss: bool = False) -> Callable:
     """Distillation train step: student det loss + depth loss + distill
     losses, teacher frozen (reference BEVDepth4DDistill.forward_train,
     bevdet_distill_more.py:457-520).
@@ -126,6 +127,18 @@ def make_distill_train_step(student, teacher, tx,
             train=False)
         t_preds = jax.lax.stop_gradient(_full(t_preds))
         t_bundle = jax.lax.stop_gradient(_full(t_bundle))
+        teacher_metrics = {}
+        if show_teacher_loss:
+            # diagnostic: the frozen teacher's own detection loss on this
+            # batch (reference show_teacher_loss,
+            # bevdet_distill.py:1425-1435 — logged, never backpropagated)
+            t_losses = teacher.apply(teacher_variables, t_preds, gt,
+                                     batch.gt_labels, batch.gt_mask,
+                                     method=teacher.loss)
+            if isinstance(t_losses, tuple):
+                t_losses = t_losses[0]
+            teacher_metrics["teacher_loss"] = sum(
+                jax.tree_util.tree_leaves(t_losses))
 
         def loss_fn(params):
             variables = {"params": _half(params) if mixed_precision
@@ -162,6 +175,7 @@ def make_distill_train_step(student, teacher, tx,
                                        state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
+        metrics.update(teacher_metrics)
         metrics["total_loss"] = total
         metrics["grad_norm"] = optax.global_norm(grads)
         return TrainState(params, new_stats, opt_state,
