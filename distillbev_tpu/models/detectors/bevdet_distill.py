@@ -49,10 +49,15 @@ class _DistillBase:
 
     def _select_teacher_feat(self, pos: str,
                              bundle: FeatureBundle) -> jnp.ndarray:
+        # works for both LiDAR teachers (FeatureBundle) and camera
+        # teachers (StudentFeatureBundle, used by the BEVDepth4Dto*
+        # variants — reference bevdet_distill_more.py:624-807)
         if pos == "head":
             return bundle.neck_feat
         if pos == "canvas":
             return bundle.canvas
+        if pos == "lss":
+            return bundle.lss_feat
         if pos.startswith("backbone"):
             return bundle.backbone_feats[int(pos[-1])]
         raise NotImplementedError(pos)
@@ -77,7 +82,8 @@ class _DistillBase:
         ms_epoch = p.get("multi_scale_epoch", -1)
         two_stage = p.get("two_stage_epoch", -1)
         losses: Dict[str, jnp.ndarray] = {}
-        canvas = teacher_bundle.canvas
+        # camera teachers (StudentFeatureBundle) have no scatter canvas
+        canvas = getattr(teacher_bundle, "canvas", None)
         if canvas is not None:
             canvas = jax.lax.stop_gradient(canvas)
         for index, (sp, tp) in enumerate(zip(s_pos, t_pos)):
@@ -216,3 +222,50 @@ class BEVDetDistill(BEVDet, _DistillBase):
         preds, bundle, depth = self(inputs, train=train)
         self.init_distiller(bundle, teacher_bundle, train=train)
         return preds, bundle, depth
+
+
+def _first_frame_inputs(inputs: ImgInputs) -> ImgInputs:
+    """4D-formatted (doubled) camera inputs -> key-frame-only inputs
+    (the BEVDepth4Dto* students consume only frame 0; the 4D camera
+    TEACHER sees both frames — reference bevdet_distill_more.py:626-660)."""
+    n = inputs.rots.shape[2]
+    return inputs._replace(
+        imgs=inputs.imgs[:, :n],
+        rots=inputs.rots[:, :1], trans=inputs.trans[:, :1],
+        intrins=inputs.intrins[:, :1], post_rots=inputs.post_rots[:, :1],
+        post_trans=inputs.post_trans[:, :1])
+
+
+@DETECTORS.register_module()
+class BEVDet4DDistill(BEVDepth4DDistill):
+    """4D temporal student distill without depth supervision
+    (reference bevdet_distill_more.py:16-166; the depth head presence is
+    governed by the view-transformer config here)."""
+
+
+@DETECTORS.register_module()
+class BEVDepth4DReproduceOfficialDistill(BEVDepth4DDistill):
+    """BEVDepth4DDistill with the reproduce-official Megvii DepthNet
+    view transformer (reference bevdet_distill_more.py:526-621; the
+    transformer class is selected by img_view_transformer.type)."""
+
+
+@DETECTORS.register_module()
+class BEVDepth4DtoBEVDetDistill(BEVDetDistill):
+    """Camera(4D)->camera(BEVDet) distillation student: inputs arrive in
+    doubled 4D format for the teacher; the student runs on the key frame
+    (reference bevdet_distill_more.py:624-709)."""
+
+    def extract_img_feat(self, inputs: ImgInputs, train: bool = False):
+        return super().extract_img_feat(_first_frame_inputs(inputs),
+                                        train=train)
+
+
+@DETECTORS.register_module()
+class BEVDepth4DtoBEVDepthDistill(BEVDepthDistill):
+    """Camera(4D)->camera(BEVDepth) distillation student (reference
+    bevdet_distill_more.py:712-807)."""
+
+    def extract_img_feat(self, inputs: ImgInputs, train: bool = False):
+        return super().extract_img_feat(_first_frame_inputs(inputs),
+                                        train=train)

@@ -252,3 +252,69 @@ def make_bevformer_distill_train_step(student, teacher, tx,
                           state.step + 1), metrics
 
     return train_step
+
+
+def make_camera_distill_train_step(student, teacher, tx,
+                                   use_depth_loss: bool = True,
+                                   mixed_precision: bool = False
+                                   ) -> Callable:
+    """Camera(4D teacher) -> camera(student) distillation step
+    (reference BEVDepth4DtoBEVDet/BEVDepthDistill,
+    bevdet_distill_more.py:624-807): the frozen 4D camera teacher sees
+    both frames of the doubled inputs, the student only the key frame
+    (sliced inside its extract_img_feat)."""
+
+    def train_step(state: TrainState, teacher_variables,
+                   batch: DistillBatch, epoch: jnp.ndarray):
+        gt = gravity_centered(batch.gt_boxes)
+        if mixed_precision:
+            batch = batch._replace(
+                img_inputs=batch.img_inputs._replace(
+                    imgs=batch.img_inputs.imgs.astype(jnp.bfloat16)))
+
+        t_preds, t_bundle, _t_depth = teacher.apply(
+            teacher_variables, batch.img_inputs, train=False)
+        t_preds = jax.lax.stop_gradient(_full(t_preds))
+        t_bundle = jax.lax.stop_gradient(_full(t_bundle))
+
+        def loss_fn(params):
+            variables = {"params": _half(params) if mixed_precision
+                         else params,
+                         "batch_stats": state.batch_stats}
+            (preds, bundle, depth), new_state = student.apply(
+                variables, batch.img_inputs, train=True,
+                mutable=["batch_stats"])
+            if mixed_precision:
+                preds = _full(preds)
+                bundle = _full(bundle)
+                depth = _full(depth) if depth is not None else None
+            det_losses, targets = student.apply(
+                variables, preds, gt, batch.gt_labels, batch.gt_mask,
+                True, method=student.head_loss)
+            heatmaps = targets[0]
+            losses = dict(det_losses)
+            if use_depth_loss and depth is not None and \
+                    batch.img_inputs.depth_gt is not None:
+                losses["loss_depth"] = student.apply(
+                    variables, depth, batch.img_inputs.depth_gt,
+                    method=student.depth_loss)
+            distill = student.apply(
+                variables, bundle, preds, t_bundle, t_preds, gt,
+                batch.gt_labels, batch.gt_mask, heatmaps, epoch,
+                True, method=student.distill_losses)
+            losses.update(distill)
+            total = sum(jax.tree_util.tree_leaves(losses))
+            return total, (losses, new_state["batch_stats"])
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, new_stats, opt_state,
+                          state.step + 1), metrics
+
+    return train_step

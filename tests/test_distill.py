@@ -251,3 +251,50 @@ class TestFGDDistill:
         assert float(lo["kd_fp_bg_feat_loss_head_head"]) == 0.0
         # gated-on epoch may still be 0 if no FPs, but must be >= gated-off
         assert float(hi["kd_fp_bg_feat_loss_head_head"]) >= 0.0
+
+
+class TestCameraTeacherDistill:
+    """Camera(4D)->camera distill variants (reference
+    bevdet_distill_more.py:624-807)."""
+
+    def test_bevdepth4d_to_bevdet_step(self, rng):
+        from distillbev_tpu.training import (DistillBatch,
+                                             init_train_state,
+                                             make_camera_distill_train_step)
+        from distillbev_tpu.training.optim import build_optimizer
+        from distillbev_tpu.training.schedules import build_lr_schedule
+
+        teacher = build_detector(tiny_bevdepth4d_cfg())
+        inputs = make_inputs(rng)
+        tvars = teacher.init(jax.random.PRNGKey(1), inputs)
+        t_preds, t_bundle, _ = teacher.apply(tvars, inputs)
+
+        cfg = distill_cfg()
+        cfg["type"] = "BEVDepth4DtoBEVDetDistill"
+        # single-frame BEVDet student: plain LSS transformer (one bev
+        # output), bev encoder consumes one frame's channels
+        vt = dict(cfg["img_view_transformer"])
+        vt["type"] = "ViewTransformerLiftSplatShoot"
+        vt.pop("extra_depth_net", None)
+        vt.pop("loss_depth_weight", None)
+        cfg["img_view_transformer"] = vt
+        cfg["img_bev_encoder_backbone"] = dict(
+            cfg["img_bev_encoder_backbone"], numC_input=8)
+        cfg.pop("pre_process", None)
+        student = build_detector(cfg)
+        svars = student.init(jax.random.PRNGKey(0), inputs, t_bundle,
+                             method="init_with_teacher")
+
+        lr = build_lr_schedule(dict(policy="step", step=[4]), 1e-3,
+                               total_steps=10, steps_per_epoch=2)
+        tx = build_optimizer(dict(type="AdamW", lr=1e-3), lr,
+                             svars["params"])
+        state = init_train_state(svars["params"],
+                                 svars.get("batch_stats", {}), tx)
+        pts, mask, gt, labels, gmask = make_batch(rng, b=1)
+        batch = DistillBatch(inputs, pts, mask, gt, labels, gmask)
+        step = jax.jit(make_camera_distill_train_step(
+            student, teacher, tx, use_depth_loss=False))
+        state, metrics = step(state, tvars, batch, jnp.float32(1.0))
+        assert np.isfinite(float(metrics["total_loss"]))
+        assert any(k.startswith("kd_") for k in metrics)
