@@ -1,0 +1,7 @@
+# 50-epoch cosine schedule for segmentation tasks
+# (reference seg_cosine_50e.py).
+optimizer = dict(type="Adam", lr=0.001, weight_decay=0.001)
+optimizer_config = dict(grad_clip=None)
+lr_config = dict(policy="CosineAnnealing", warmup=None, min_lr=1e-5)
+momentum_config = None
+runner = dict(type="EpochBasedRunner", max_epochs=50)

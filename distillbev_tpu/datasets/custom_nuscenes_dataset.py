@@ -110,3 +110,11 @@ class CustomNuScenesDataset(NuScenesDataset):
             l2i.append(np.stack(meta["lidar2img"]).astype(np.float32))
         out["lidar2img"] = np.stack(l2i)               # [T, N, 4, 4]
         return out
+
+
+@DATASETS.register_module(name="NuScenesDataset_eval_modified")
+class NuScenesDatasetEvalModified(CustomNuScenesDataset):
+    """Config-compat alias for the reference's plugin dataset
+    (referenced by configs/_base_/datasets/custom_nus-3d.py; the class
+    itself lives in the external BEVFormer plugin and only adjusts the
+    eval wrapper — our self-contained evaluator already covers it)."""
