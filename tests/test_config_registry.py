@@ -147,3 +147,37 @@ class TestRegistry:
 
         assert child.get("P") is P
         assert "P" in child
+
+
+def test_fuse_conv_bn_numeric():
+    """Folded conv+BN must reproduce inference outputs exactly."""
+    import sys, os.path as osp
+    sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from distillbev_tpu.models.layers import ConvModule
+    from tools.misc.fuse_conv_bn import fuse_conv_bn
+
+    rng = np.random.RandomState(0)
+    m = ConvModule(8, 3, padding=1, norm_cfg=dict(type="BN"),
+                   act_cfg=None)
+    x = jnp.asarray(rng.randn(2, 6, 6, 4).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    # non-trivial running stats
+    stats = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.rand(*a.shape).astype(np.float32)
+                              + 0.5), v["batch_stats"])
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.randn(*a.shape).astype(np.float32)),
+        v["params"])
+    ref = m.apply({"params": params, "batch_stats": stats}, x)
+
+    fp, fs, n = fuse_conv_bn(jax.tree_util.tree_map(np.asarray, params),
+                             jax.tree_util.tree_map(np.asarray, stats))
+    assert n == 1
+    out = m.apply({"params": jax.tree_util.tree_map(jnp.asarray, fp),
+                   "batch_stats": jax.tree_util.tree_map(jnp.asarray,
+                                                         fs)}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
