@@ -57,6 +57,9 @@ class CenterPoint(nn.Module):
     # identical to the unfused path (same kept set, same statistics);
     # used whenever the voxel encoder exposes ``encode_sorted``.
     fused_pillars: bool = True
+    # cast the scatter canvas before SECOND/FPN (e.g. "bfloat16"): the
+    # dense BEV convs are bandwidth bound; geometry/VFE stats stay fp32
+    backbone_dtype: Any = None
 
     def setup(self):
         self.voxel_encoder = build_voxel_encoder(
@@ -121,6 +124,8 @@ class CenterPoint(nn.Module):
             start_rows=start_rows_flat, train=train)
         vf = vf.reshape(b, v, -1)
         canvas = self.middle_encoder(vf, info.coords, voxel_mask)
+        if self.backbone_dtype is not None:
+            canvas = canvas.astype(self.backbone_dtype)
         feats = self.backbone(canvas, train=train)
         neck = self.neck(feats, train=train)
         return FeatureBundle(canvas, feats, neck)
@@ -136,6 +141,8 @@ class CenterPoint(nn.Module):
         vf = self.voxel_encoder(vox.voxels, vox.num_points, vox.coords,
                                 voxel_mask, train=train)
         canvas = self.middle_encoder(vf, vox.coords, voxel_mask)
+        if self.backbone_dtype is not None:
+            canvas = canvas.astype(self.backbone_dtype)
         feats = self.backbone(canvas, train=train)
         neck = self.neck(feats, train=train)
         return FeatureBundle(canvas, feats, neck)

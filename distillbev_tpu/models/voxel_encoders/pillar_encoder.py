@@ -116,6 +116,9 @@ class PillarFeatureNet(nn.Module):
     mode: str = "max"
     legacy: bool = True
     virtual: bool = False
+    # bf16 PFN compute (decorations stay fp32 — voxel/cluster geometry
+    # needs the mantissa; the linear/BN/pool traffic halves)
+    compute_dtype: Any = None
 
     def setup(self):
         self.pfn_layers = [
@@ -159,6 +162,8 @@ class PillarFeatureNet(nn.Module):
                 jnp.linalg.norm(feats[..., :3], axis=-1, keepdims=True))
         x = jnp.concatenate(decorations, axis=-1)
         x = jnp.where(point_mask[..., None], x, 0.0)
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
 
         for layer in self.pfn_layers:
             x = layer(x, point_mask, train=train)
@@ -223,6 +228,8 @@ class PillarFeatureNet(nn.Module):
                 jnp.linalg.norm(feats[:, :3], axis=-1, keepdims=True))
         x = jnp.concatenate(decorations, axis=-1)
         x = jnp.where(keep[:, None], x, 0.0)
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
 
         for layer in self.pfn_layers:
             x = layer.sorted_call(x, voxel_idx, keep, start_rows, cap,

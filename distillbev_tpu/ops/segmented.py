@@ -159,13 +159,16 @@ def capped_segment_reduce(values: jnp.ndarray,
     Returns [num_segments, C] float32.
     """
     n = values.shape[0]
-    vals = values.astype(jnp.float32)
-    if reduce in ("sum", "mean"):
+    if reduce == "max":
+        # max is order-exact in any dtype — keep bf16 inputs bf16
+        # (halves the shifted-combine traffic); sums accumulate fp32
+        vals = values
+        ident = jnp.asarray(-jnp.inf, vals.dtype)
+        combine = jnp.maximum
+    elif reduce in ("sum", "mean"):
+        vals = values.astype(jnp.float32)
         ident = jnp.float32(0)
         combine = jnp.add
-    elif reduce == "max":
-        ident = jnp.float32(-jnp.inf)
-        combine = jnp.maximum
     else:
         raise ValueError(f"unknown reduce {reduce!r}")
     if valid is not None:
