@@ -58,9 +58,13 @@ def main():
 
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
+    # iterations chain through the donated train state, so one host sync
+    # at the end times the whole pipeline — a per-iteration sync would
+    # add the ~35 ms tunnel round-trip per step, which a real training
+    # loop (host-read only on logging steps) never pays
     for _ in range(n_iters):
         state, metrics = step_fn(state, tvars, batch, epoch)
-        float(metrics["total_loss"])
+    float(metrics["total_loss"])
     dt = (time.perf_counter() - t0) / n_iters
 
     samples_per_sec = batch_size / dt
