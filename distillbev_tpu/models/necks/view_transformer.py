@@ -58,34 +58,38 @@ class LSSGeometry:
         self.D = len(self.ds)
         xs = np.linspace(0, ogfW - 1, self.fW, dtype=np.float32)
         ys = np.linspace(0, ogfH - 1, self.fH, dtype=np.float32)
-        frustum = np.zeros((self.D, self.fH, self.fW, 3), np.float32)
-        frustum[..., 0] = xs[None, None, :]
-        frustum[..., 1] = ys[None, :, None]
-        frustum[..., 2] = self.ds[:, None, None]
-        self.frustum = frustum     # [D, fH, fW, 3] (u, v, d)
+        # depth-LAST layout (reference keeps D first,
+        # view_transformer_mine.py:98-112): the lift outer product
+        # depth[..., :, None] * feat[..., None, :] then lands directly in
+        # [B, N, fH, fW, D, C] — no 6-D transpose before the splat
+        frustum = np.zeros((self.fH, self.fW, self.D, 3), np.float32)
+        frustum[..., 0] = xs[None, :, None]
+        frustum[..., 1] = ys[:, None, None]
+        frustum[..., 2] = self.ds[None, None, :]
+        self.frustum = frustum     # [fH, fW, D, 3] (u, v, d)
 
     def get_geometry(self, rots, trans, intrins, post_rots, post_trans):
         """Ego-frame xyz of every frustum point.
 
         rots/intrins/post_rots [B, N, 3, 3]; trans/post_trans [B, N, 3]
-        -> [B, N, D, fH, fW, 3].  fp32 throughout (the reference forces
+        -> [B, N, fH, fW, D, 3].  fp32 throughout (the reference forces
         fp32 on geometry, view_transformer_mine.py @force_fp32).
         """
         frustum = jnp.asarray(self.frustum)
         pts = frustum[None, None] - post_trans[:, :, None, None, None, :]
         inv_post = jnp.linalg.inv(post_rots.astype(jnp.float32))
-        pts = jnp.einsum("bnij,bndhwj->bndhwi", inv_post, pts)
+        pts = jnp.einsum("bnij,bnhwdj->bnhwdi", inv_post, pts)
         # image-plane (u*d, v*d, d)
         pts = jnp.concatenate(
             [pts[..., :2] * pts[..., 2:3], pts[..., 2:3]], axis=-1)
         combine = jnp.einsum(
             "bnij,bnjk->bnik", rots.astype(jnp.float32),
             jnp.linalg.inv(intrins.astype(jnp.float32)))
-        pts = jnp.einsum("bnij,bndhwj->bndhwi", combine, pts)
+        pts = jnp.einsum("bnij,bnhwdj->bnhwdi", combine, pts)
         return pts + trans[:, :, None, None, None, :]
 
     def splat(self, geom, volume):
-        """geom [B, N, D, fH, fW, 3]; volume [B, N, D, fH, fW, C]
+        """geom [B, N, fH, fW, D, 3]; volume [B, N, fH, fW, D, C]
         -> [B, ny, nx, C] (rows index y — reference canvas layout)."""
         b = geom.shape[0]
         c = volume.shape[-1]
@@ -143,10 +147,10 @@ class ViewTransformerLiftSplatShoot(nn.Module):
         img_feat = y[..., geo.D:geo.D + self.numC_Trans]
         geom = geo.get_geometry(rots, trans, intrins, post_rots,
                                 post_trans)
-        # lift: [BN, fh, fw, D, 1] x [BN, fh, fw, 1, C]
+        # lift: [BN, fh, fw, D, 1] x [BN, fh, fw, 1, C] — depth-last, so
+        # the product is already in the splat's flattening order
         volume = depth[..., None] * img_feat[..., None, :]
         volume = volume.reshape(b, n, fh, fw, geo.D, self.numC_Trans)
-        volume = volume.transpose(0, 1, 4, 2, 3, 5)    # [B,N,D,fh,fw,C]
         # splat accumulates fp32; continue downstream in the compute dtype
         return geo.splat(geom, volume).astype(img_feat.dtype)
 
@@ -231,7 +235,6 @@ class ViewTransformerLSSBEVDepth(nn.Module):
                                 post_trans)
         volume = depth[..., None] * img_feat[..., None, :]
         volume = volume.reshape(b, n, fh, fw, geo.D, self.numC_Trans)
-        volume = volume.transpose(0, 1, 4, 2, 3, 5)
         bev = geo.splat(geom, volume).astype(img_feat.dtype)
         return bev, depth_logits.reshape(b, n, fh, fw, geo.D)
 

@@ -160,6 +160,5 @@ class ViewTransformerLSSBEVDepthReproduce(nn.Module):
                                 post_trans)
         volume = depth[..., None] * context[..., None, :]
         volume = volume.reshape(b, n, fh, fw, geo.D, -1)
-        volume = volume.transpose(0, 1, 4, 2, 3, 5)
         bev = geo.splat(geom, volume)
         return bev, depth_logits.reshape(b, n, fh, fw, geo.D)
