@@ -29,8 +29,9 @@ def main():
     from distillbev_tpu.training.schedules import build_lr_schedule
 
     batch_size = int(os.environ.get("BENCH_BATCH", "4"))
+    mixed = os.environ.get("BENCH_PRECISION", "bf16") == "bf16"
     student, teacher, svars, tvars, batch = build_flagship(
-        batch_size=batch_size, tiny=False)
+        batch_size=batch_size, tiny=False, teacher_bf16=mixed)
 
     lr = build_lr_schedule(dict(policy="step", step=[16, 22]), 2e-4,
                            total_steps=10000, steps_per_epoch=1000)
@@ -44,7 +45,6 @@ def main():
     # the fused sorted-pillar path replaced; the full step now compiles
     # in ~2 min and runs ~10% faster than fp32.  BENCH_PRECISION=f32
     # opts out.
-    mixed = os.environ.get("BENCH_PRECISION", "bf16") == "bf16"
     step_fn = jax.jit(make_distill_train_step(
         student, teacher, tx, mixed_precision=mixed),
         donate_argnums=(0,))

@@ -255,11 +255,13 @@ def make_example_batch(batch_size: int = 1, n_points: int = MAX_POINTS,
 
 
 def build_flagship(batch_size: int = 1, tiny: bool = False,
-                   seed: int = 0):
+                   seed: int = 0, teacher_bf16: bool = False):
     """Build (student, teacher, variables, teacher_variables, batch).
 
     tiny=True shrinks every budget for CPU dry-runs while keeping the
-    full architecture and sharding structure.
+    full architecture and sharding structure.  teacher_bf16=True sets
+    the frozen teacher's compute dtypes to bfloat16 (pair it with the
+    train step's mixed_precision, which casts the teacher params).
     """
     import jax
     from ..models import build_detector
@@ -277,6 +279,9 @@ def build_flagship(batch_size: int = 1, tiny: bool = False,
         t_cfg = centerpoint_teacher_cfg()
         s_cfg = bevdepth4d_distill_cfg(50)
         batch = make_example_batch(batch_size, seed=seed)
+    if teacher_bf16:
+        t_cfg["pts_voxel_encoder"]["compute_dtype"] = "bfloat16"
+        t_cfg["backbone_dtype"] = "bfloat16"
 
     teacher = build_detector(t_cfg)
     student = build_detector(s_cfg)
