@@ -147,46 +147,57 @@ def sorted_voxel_info(points: jnp.ndarray,
     num_voxels = jnp.sum((starts & sorted_valid &
                           (voxel_idx < max_voxels)).astype(jnp.int32))
 
-    # all per-voxel metadata is known at each segment's LAST kept row
-    # (coords are constant over the segment, count = slot + 1, start
-    # row = row - slot), so ONE unique-index scatter extracts coords,
-    # num_points and start_rows together.  Scatter cost on TPU is
-    # dominated by walking the N update rows, not payload width —
-    # measured: one 5-col scatter 83 ms vs two scatters 88 ms vs a
-    # searchsorted/gather formulation 115 ms (B=4 x 300k pts incl.
-    # ~35 ms host sync).
-    coords_meta, num_points, start_rows = _segment_meta_scatter(
-        sorted_keys, sorted_coords, voxel_idx, slot, keep, max_voxels,
-        n, max_points)
+    coords_meta, num_points, start_rows = _segment_meta_compact(
+        sorted_keys, sorted_coords, max_voxels, n, max_points)
     return SortedVoxelInfo(sorted_pts, voxel_idx, slot, keep,
                            coords_meta, num_points, num_voxels,
                            start_rows)
 
 
-def _segment_meta_scatter(sorted_keys, sorted_coords, voxel_idx, slot,
-                          keep, max_voxels: int, n: int,
-                          max_points: int | None = None):
-    """One [N] -> [max_voxels+1, 5] scatter at segment-end rows yielding
-    (coords [V, 3], num_points [V], start_rows [V]): every field is
-    known at the segment's last kept row (coords constant per segment,
-    count = slot + 1, start row = row - slot)."""
-    nxt_keys = jnp.concatenate([sorted_keys[1:], sorted_keys[-1:] + 1])
-    seg_end = sorted_keys != nxt_keys
-    if max_points is not None:
-        last_kept = keep & (seg_end | (slot == max_points - 1))
-    else:
-        last_kept = keep & seg_end
+def _segment_meta_compact(sorted_keys, sorted_coords, max_voxels: int,
+                          n: int, max_points: int | None = None):
+    """(coords [V, 3], num_points [V], start_rows [V]) from the sorted key
+    array, without walking all N rows in a scatter.
+
+    TPU scatter cost is walk-the-update-rows bound (the old single
+    combined scatter here was 11.5 ms/step at 4 x 300k points), so the
+    segment-start rows are COMPACTED first with a stable 1-bit sort
+    (starts first, ascending row order — ~0.3 ms at 1M rows).  The v-th
+    compacted row IS voxel v's start row; coords gather from it, and
+    num_points = clip(next_start - start, max_points) using the fact
+    that valid segments are contiguous and invalid rows sort last."""
+    sentinel = jnp.iinfo(sorted_keys.dtype).max
+    sorted_valid = sorted_keys != sentinel
+    prev = jnp.concatenate([sorted_keys[:1] - 1, sorted_keys[:-1]])
+    real_start = (sorted_keys != prev) & sorted_valid
     row = jnp.arange(n, dtype=jnp.int32)
-    payload = jnp.concatenate(
-        [sorted_coords, (slot + 1)[:, None], (row - slot)[:, None]],
-        axis=1)
-    init = jnp.concatenate(
-        [jnp.full((max_voxels + 1, 3), -1, jnp.int32),
-         jnp.zeros((max_voxels + 1, 1), jnp.int32),
-         jnp.full((max_voxels + 1, 1), n, jnp.int32)], axis=1)
-    meta = init.at[jnp.where(last_kept, voxel_idx, max_voxels)].set(
-        payload, mode="drop")[:-1]
-    return meta[:, :3], meta[:, 3], meta[:, 4]
+    _, comp = jax.lax.sort_key_val((~real_start).astype(jnp.int32), row,
+                                   is_stable=True)
+    num_segments = jnp.sum(real_start.astype(jnp.int32))
+    n_valid = jnp.sum(sorted_valid.astype(jnp.int32))
+    m = min(n, max_voxels + 1)
+    cand = comp[:m]
+    v = jnp.arange(m, dtype=jnp.int32)
+    in_seg = v < num_segments
+    start_rows = jnp.where(in_seg, cand, n)
+    nxt = jnp.concatenate([cand[1:], jnp.full((1,), n, jnp.int32)])
+    next_start = jnp.where(v + 1 < num_segments, nxt, n_valid)
+    seg_len = jnp.maximum(next_start - cand, 0)
+    if max_points is not None:
+        seg_len = jnp.minimum(seg_len, max_points)
+    num_points = jnp.where(in_seg, seg_len, 0)
+    coords = jnp.where(in_seg[:, None],
+                       sorted_coords[jnp.minimum(cand, n - 1)], -1)
+    if m < max_voxels:          # tiny-N case: pad to the static budget
+        pad = max_voxels - m
+        coords = jnp.concatenate(
+            [coords, jnp.full((pad, 3), -1, jnp.int32)], 0)
+        num_points = jnp.concatenate(
+            [num_points, jnp.zeros((pad,), jnp.int32)], 0)
+        start_rows = jnp.concatenate(
+            [start_rows, jnp.full((pad,), n, jnp.int32)], 0)
+    return (coords[:max_voxels], num_points[:max_voxels],
+            start_rows[:max_voxels])
 
 
 @partial(jax.jit, static_argnames=("voxel_size", "point_cloud_range",
@@ -240,13 +251,10 @@ def hard_voxelize(points: jnp.ndarray,
     voxels = voxels.at[flat_dst].set(sorted_pts, mode="drop")
     voxels = voxels[:-1].reshape(max_voxels, max_points, c)
 
-    # per-voxel metadata via one combined unique-index scatter (see
-    # _segment_meta_scatter; scatter cost is walk-the-N-rows bound)
     num_voxels = jnp.sum((starts & sorted_valid &
                           (voxel_idx < max_voxels)).astype(jnp.int32))
-    coords_out, num_points, _ = _segment_meta_scatter(
-        sorted_keys, sorted_coords_v, voxel_idx, slot, keep, max_voxels,
-        n, max_points)
+    coords_out, num_points, _ = _segment_meta_compact(
+        sorted_keys, sorted_coords_v, max_voxels, n, max_points)
     return VoxelizationOutput(voxels, coords_out, num_points, num_voxels)
 
 
