@@ -21,11 +21,16 @@ def parse_args():
     parser.add_argument("--out", help="json path for raw results")
     parser.add_argument("--cfg-options", nargs="+",
                         action=DictAction.argparse())
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: jax.distributed.initialize()")
     return parser.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.distributed:
+        import jax
+        jax.distributed.initialize()
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
         cfg.merge_from_dict(args.cfg_options)

@@ -30,11 +30,19 @@ def parse_args():
                              "(reference rule lr*n/8)")
     parser.add_argument("--max-steps-per-epoch", type=int, default=None,
                         help="debug: truncate epochs")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: jax.distributed.initialize() "
+                             "from the cluster env (SLURM / TPU pod) — "
+                             "the NCCL init_dist counterpart "
+                             "(reference tools/train.py:137-144)")
     return parser.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.distributed:
+        import jax
+        jax.distributed.initialize()
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
         cfg.merge_from_dict(args.cfg_options)
