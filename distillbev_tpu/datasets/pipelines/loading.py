@@ -59,7 +59,8 @@ class LoadMultiViewImageFromFiles_BEVDet:
     def __init__(self, data_config, is_train: bool = False,
                  sequential: bool = False, aligned: bool = False,
                  trans_only: bool = True, root_path: str = "",
-                 bevdepth_norm: bool = False, file_client_args=None):
+                 bevdepth_norm: bool = False, file_client_args=None,
+                 fast_jpeg_decode: bool = True):
         self.data_config = dict(data_config)
         self.is_train = is_train
         self.sequential = sequential
@@ -67,6 +68,12 @@ class LoadMultiViewImageFromFiles_BEVDet:
         self.trans_only = trans_only
         self.root_path = root_path
         self.bevdepth_norm = bevdepth_norm
+        # libjpeg scaled decode: decode at the 1/2^k DCT scale nearest
+        # above the resize target (PIL draft).  ~4x cheaper decode+resize
+        # at nuScenes sizes (1600x900 -> 704x396); the aug homography is
+        # exact (resize_dims/crop are absolute), pixel values differ
+        # slightly from full-resolution resampling (deviation flag ≈)
+        self.fast_jpeg_decode = fast_jpeg_decode
 
     # -- augmentation sampling (reference sample_augmentation:215-240) --
     def sample_augmentation(self, h, w, flip=None, scale=None):
@@ -159,6 +166,8 @@ class LoadMultiViewImageFromFiles_BEVDet:
             aug = self.sample_augmentation(img.height, img.width,
                                            flip=flip, scale=scale)
             resize, resize_dims, crop, do_flip, rotate = aug
+            if self.fast_jpeg_decode:
+                img.draft("RGB", resize_dims)
             img, post_rot2, post_tran2 = self.img_transform(
                 img, post_rot, post_tran, resize, resize_dims, crop,
                 do_flip, rotate)
@@ -173,6 +182,8 @@ class LoadMultiViewImageFromFiles_BEVDet:
                 for a_info in adj_list:
                     img_a = Image.open(self._resolve(
                         a_info["cams"][cam]["data_path"]))
+                    if self.fast_jpeg_decode:
+                        img_a.draft("RGB", resize_dims)
                     img_a = self.img_transform_core(
                         img_a, resize_dims, crop, do_flip, rotate)
                     imgs_adj.append(normalize_img(img_a,
@@ -295,6 +306,15 @@ class PointToMultiViewDepth:
         points = results["points"].tensor[:, :3]
         n = rots.shape[1]
         h, w = imgs.shape[1], imgs.shape[2]
+        from ... import native
+        nat = native.points_to_depth_maps(
+            points, rots[0, :n], trans[0, :n], intrins[0, :n],
+            post_rots[0, :n], post_trans[0, :n], h, w, self.downsample,
+            self.grid_config["dbound"][0], self.grid_config["dbound"][1])
+        if nat is not None:
+            results["img_inputs"] = tuple(
+                results["img_inputs"][:6]) + (nat,)
+            return results
         depth_maps = []
         for cid in range(n):
             # lidar -> cam

@@ -37,7 +37,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     with _LOCK:
         if _LIB is not None:
             return _LIB if _LIB is not False else None
-        path = _SO if osp.exists(_SO) else _build()
+        src = osp.join(_DIR, "src", "pipeline.cc")
+        stale = (osp.exists(_SO) and osp.exists(src) and
+                 os.path.getmtime(src) > os.path.getmtime(_SO))
+        path = _SO if osp.exists(_SO) and not stale else _build()
         if path is None:
             _LIB = False
             return None
@@ -65,6 +68,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64,
             np.ctypeslib.ndpointer(np.float32),
             np.ctypeslib.ndpointer(np.float32), ctypes.c_int64]
+        lib.points_to_depth_maps.restype = None
+        lib.points_to_depth_maps.argtypes = [
+            np.ctypeslib.ndpointer(np.float32),
+            ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.float32),
+            np.ctypeslib.ndpointer(np.float32),
+            np.ctypeslib.ndpointer(np.float32),
+            np.ctypeslib.ndpointer(np.float32),
+            np.ctypeslib.ndpointer(np.float32),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float,
+            np.ctypeslib.ndpointer(np.float32)]
         _LIB = lib
         return lib
 
@@ -147,3 +162,29 @@ def range_filter_pad(points: np.ndarray, pcr, max_points: int):
                              np.ascontiguousarray(pcr, np.float32), out,
                              max_points)
     return out, int(n)
+
+
+def points_to_depth_maps(points: np.ndarray, rots, trans, intrins,
+                         post_rots, post_trans, height: int, width: int,
+                         downsample: int, d_min: float, d_max: float):
+    """Fused lidar -> per-camera min-depth maps; returns
+    [n_cam, H/ds, W/ds] float32 or None when the library is absent
+    (callers fall back to the numpy path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    points = np.ascontiguousarray(points, np.float32)
+    rots = np.ascontiguousarray(rots, np.float32).reshape(-1)
+    trans = np.ascontiguousarray(trans, np.float32).reshape(-1)
+    intrins = np.ascontiguousarray(intrins, np.float32).reshape(-1)
+    post_rots = np.ascontiguousarray(post_rots, np.float32).reshape(-1)
+    post_trans = np.ascontiguousarray(post_trans,
+                                      np.float32).reshape(-1)
+    n_cam = len(trans) // 3
+    fh, fw = height // downsample, width // downsample
+    out = np.empty((n_cam, fh, fw), np.float32)
+    lib.points_to_depth_maps(points, points.shape[0], points.shape[1],
+                             rots, trans, intrins, post_rots, post_trans,
+                             n_cam, height, width, downsample,
+                             float(d_min), float(d_max), out)
+    return out

@@ -154,6 +154,65 @@ void normalize_images(const uint8_t* imgs, float* out, int64_t n,
   for (auto& t : threads) t.join();
 }
 
+// lidar points -> per-camera sparse min-depth maps at feature resolution
+// (the python loop at datasets/pipelines/loading.py PointToMultiViewDepth
+// costs ~0.35 s/sample at 6 cams x 300k points — numpy temporaries; this
+// is one fused pass, threaded over cameras).
+//
+// points: [n, pt_stride] (xyz first); rots/intrins/post_rots: [n_cam, 9]
+// row-major 3x3; trans/post_trans: [n_cam, 3]; out: [n_cam, h/ds, w/ds]
+// zero-filled here (0 == no return, matching the python map).
+void points_to_depth_maps(const float* points, int64_t n_pts,
+                          int64_t pt_stride, const float* rots,
+                          const float* trans, const float* intrins,
+                          const float* post_rots,
+                          const float* post_trans, int n_cam, int height,
+                          int width, int downsample, float d_min,
+                          float d_max, float* out) {
+  const int fh = height / downsample, fw = width / downsample;
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  int n_threads = hw < 1 ? 1 : (hw > n_cam ? n_cam : hw);
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (int c = next.fetch_add(1); c < n_cam; c = next.fetch_add(1)) {
+      const float* R = rots + c * 9;        // cam2lidar rotation
+      const float* t = trans + c * 3;
+      const float* K = intrins + c * 9;
+      const float* P = post_rots + c * 9;   // aug homography (2x2 used)
+      const float* pt = post_trans + c * 3;
+      float* map = out + (size_t)c * fh * fw;
+      std::memset(map, 0, sizeof(float) * fh * fw);
+      for (int64_t i = 0; i < n_pts; ++i) {
+        const float* p = points + i * pt_stride;
+        const float dx = p[0] - t[0], dy = p[1] - t[1], dz = p[2] - t[2];
+        // python: (p - t) @ R  ->  p'_i = sum_j d_j R[j][i]
+        const float z = R[2] * dx + R[5] * dy + R[8] * dz;
+        if (z <= 0.f || z < d_min || z >= d_max) continue;
+        const float x = R[0] * dx + R[3] * dy + R[6] * dz;
+        const float y = R[1] * dx + R[4] * dy + R[7] * dz;
+        const float inv = 1.f / (z > 1e-5f ? z : 1e-5f);
+        float u = x * inv, v = y * inv;
+        // uv @ K[:2,:2].T + K[:2,2]
+        float ui = K[0] * u + K[1] * v + K[2];
+        float vi = K[3] * u + K[4] * v + K[5];
+        // uv @ P[:2,:2].T + pt[:2]
+        const float ua = P[0] * ui + P[1] * vi + pt[0];
+        const float va = P[3] * ui + P[4] * vi + pt[1];
+        // nearbyint: round-half-even like np.round (lround would be
+        // half-away-from-zero and disagree on exact .5 boundaries)
+        const int cu = (int)std::nearbyint(ua / downsample);
+        const int cv = (int)std::nearbyint(va / downsample);
+        if (cu < 0 || cu >= fw || cv < 0 || cv >= fh) continue;
+        float& cell = map[cv * fw + cu];
+        if (cell == 0.f || z < cell) cell = z;
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t2 = 0; t2 < n_threads; ++t2) threads.emplace_back(worker);
+  for (auto& t2 : threads) t2.join();
+}
+
 // Range filter + pad: points [n, c] -> out [max_points, c]; returns kept.
 int64_t range_filter_pad(const float* points, int64_t n, int64_t c,
                          const float* pcr /* [6] */, float* out,

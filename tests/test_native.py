@@ -141,3 +141,52 @@ class TestNativeSweepPipeline:
         assert len(b) == len(a)
         assert np.allclose(np.sort(a[:, 0]), np.sort(b[:, 0]), atol=1e-4)
         assert np.allclose(a[:200], b[:200], atol=1e-4)  # key frame first
+
+
+class TestPointsToDepthMaps:
+
+    def test_matches_numpy_path(self, rng, lib_ok):
+        """Native fused projection == PointToMultiViewDepth numpy loop."""
+        from distillbev_tpu.datasets.pipelines.loading import \
+            PointToMultiViewDepth
+        from distillbev_tpu import native
+        n_cam, h, w = 3, 128, 352
+        pts = rng.uniform(-40, 40, (20000, 3)).astype(np.float32)
+        rots, trans, intrins, prots, ptrans = [], [], [], [], []
+        for c in range(n_cam):
+            th = 2 * np.pi * c / n_cam
+            rots.append(np.array(
+                [[np.cos(th), 0, np.sin(th)],
+                 [np.sin(th), 0, -np.cos(th)], [0, -1, 0]], np.float32))
+            trans.append(np.array([0, 0, 1.5], np.float32))
+            intrins.append(np.array([[120.0, 0, w / 2], [0, 120.0, h / 2],
+                                     [0, 0, 1]], np.float32))
+            pr = np.eye(3, dtype=np.float32)
+            pr[:2, :2] *= 0.9
+            prots.append(pr)
+            ptrans.append(np.array([3.0, -2.0, 0], np.float32))
+        rots = np.stack(rots); trans = np.stack(trans)
+        intrins = np.stack(intrins)
+        prots = np.stack(prots); ptrans = np.stack(ptrans)
+
+        tr = PointToMultiViewDepth(
+            grid_config={"dbound": [1.0, 60.0, 1.0]}, downsample=16)
+        want = []
+        for c in range(n_cam):
+            pc = (pts - trans[c]) @ rots[c]
+            depth = pc[:, 2]
+            uv = pc[:, :2] / np.maximum(depth[:, None], 1e-5)
+            uv = uv @ intrins[c][:2, :2].T + intrins[c][:2, 2]
+            uv = uv @ prots[c][:2, :2].T + ptrans[c][:2]
+            pi = np.concatenate([uv, depth[:, None]], -1)[depth > 0]
+            want.append(tr.points2depthmap(pi, h, w))
+        want = np.stack(want)
+
+        got = native.points_to_depth_maps(pts, rots, trans, intrins,
+                                          prots, ptrans, h, w, 16,
+                                          1.0, 60.0)
+        assert got is not None
+        assert got.shape == want.shape
+        # identical sparsity pattern and min depths
+        mism = np.abs(got - want) > 1e-4
+        assert mism.mean() < 1e-3, (mism.sum(), want.size)
