@@ -83,8 +83,7 @@ def segmented_cumsum_pallas(values: jnp.ndarray,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.ANY
-                         if False else pltpu.VMEM),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, c), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
