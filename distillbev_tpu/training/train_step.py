@@ -212,31 +212,48 @@ class BEVFormerBatch(NamedTuple):
 
 
 def make_bevformer_distill_train_step(student, teacher, tx,
-                                      bev_h: int, bev_w: int) -> Callable:
+                                      bev_h: int, bev_w: int,
+                                      mixed_precision: bool = False
+                                      ) -> Callable:
     """BEVFormer distillation step (reference
     bevformer_distill.py forward_train:926-984): detection loss +
-    FGD on (student bev_embed, teacher bev_feat) + hs/query distill."""
+    FGD on (student bev_embed, teacher bev_feat) + hs/query distill.
+
+    mixed_precision mirrors the CNN path (bf16 forward/backward, fp32
+    masters + losses) — the reference's BEVFormer scripts train under
+    Fp16OptimizerHook, and the full-size model (queue=4, 6 cams at
+    900x1600) does not fit a 16 GB v5e chip at fp32."""
 
     def train_step(state: TrainState, teacher_variables,
                    batch: BEVFormerBatch, epoch: jnp.ndarray):
         gt = gravity_centered(batch.gt_boxes)
+        if mixed_precision:
+            batch = batch._replace(
+                imgs=batch.imgs.astype(jnp.bfloat16))
+            teacher_variables = dict(teacher_variables)
+            teacher_variables["params"] = _half(
+                teacher_variables["params"])
         t_outs, t_bundle = teacher.apply(
             teacher_variables, batch.points, batch.point_mask,
             train=False)
-        t_outs = jax.lax.stop_gradient(t_outs)
-        t_bundle = jax.lax.stop_gradient(t_bundle)
+        t_outs = jax.lax.stop_gradient(_full(t_outs))
+        t_bundle = jax.lax.stop_gradient(_full(t_bundle))
 
         dropout_rng = jax.random.fold_in(jax.random.PRNGKey(0),
                                          state.step)
 
         def loss_fn(params):
-            variables = {"params": params,
+            variables = {"params": _half(params) if mixed_precision
+                         else params,
                          "batch_stats": state.batch_stats}
             (outs, bundle), new_state = student.apply(
                 variables, batch.imgs, batch.can_bus, batch.lidar2img,
                 batch.prev_exists, train=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": dropout_rng})
+            if mixed_precision:
+                outs = _full(outs)
+                bundle = _full(bundle)
             det_losses = student.apply(
                 variables, outs, gt, batch.gt_labels, batch.gt_mask,
                 method=student.loss)
