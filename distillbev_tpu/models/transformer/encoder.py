@@ -140,6 +140,10 @@ class BEVFormerEncoder(nn.Module):
     dropout: float = 0.1
     return_intermediate: bool = False
     max_queries_per_cam: Optional[int] = None
+    # rematerialize each encoder layer in the backward pass (the
+    # reference's with_cp grad-checkpointing); the full-size student
+    # (bev 200x200, 6 layers) needs this to fit one 16 GB v5e chip
+    with_cp: bool = False
 
     @nn.compact
     def __call__(self, bev_query, value, bev_h: int, bev_w: int,
@@ -162,16 +166,25 @@ class BEVFormerEncoder(nn.Module):
         out = bev_query
         intermediate = []
         for i in range(self.num_layers):
-            out = BEVFormerLayer(
+            layer = BEVFormerLayer(
                 embed_dims=self.embed_dims, num_heads=self.num_heads,
                 feedforward_channels=self.feedforward_channels,
                 num_levels=self.num_levels, num_cams=self.num_cams,
                 dropout=self.dropout,
                 max_queries_per_cam=self.max_queries_per_cam,
-                name=f"layer_{i}")(
-                out, value, prev_bev, ref_2d, ref_cam, bev_mask,
-                bev_pos, spatial_shapes, (bev_h, bev_w), shift=shift,
-                train=train)
+                name=f"layer_{i}")
+            if self.with_cp and train:
+                def body(mdl, q, v, pb, r2, rc, bm, bp, sh):
+                    return mdl(q, v, pb, r2, rc, bm, bp,
+                               spatial_shapes, (bev_h, bev_w),
+                               shift=sh, train=train)
+                out = nn.remat(body)(layer, out, value, prev_bev,
+                                     ref_2d, ref_cam, bev_mask,
+                                     bev_pos, shift)
+            else:
+                out = layer(out, value, prev_bev, ref_2d, ref_cam,
+                            bev_mask, bev_pos, spatial_shapes,
+                            (bev_h, bev_w), shift=shift, train=train)
             if self.return_intermediate:
                 intermediate.append(out)
         if self.return_intermediate:

@@ -219,3 +219,46 @@ class TestBEVFormerDistill:
         assert "kd_hs_loss_bev" in losses
         for k, v in losses.items():
             assert np.isfinite(float(v)), k
+
+
+def test_encoder_with_cp_matches(rng):
+    """with_cp (remat) changes memory, not values or grads."""
+    import jax
+    import jax.numpy as jnp
+    from distillbev_tpu.models.transformer.encoder import BEVFormerEncoder
+
+    bev_h = bev_w = 8
+    b, ncam, c = 1, 2, 32
+    hw = 16 * 44 // 44  # dummy
+    sshapes = ((4, 11),)
+    val = jnp.asarray(rng.randn(b, ncam, 44, c).astype(np.float32))
+    q = jnp.asarray(rng.randn(b, bev_h * bev_w, c).astype(np.float32))
+    l2i = jnp.tile(jnp.eye(4), (b, ncam, 1, 1)).astype(jnp.float32)
+
+    def run(with_cp):
+        enc = BEVFormerEncoder(num_layers=2, pc_range=[-8, -8, -3, 8, 8,
+                                                       3],
+                               embed_dims=c, num_heads=4,
+                               feedforward_channels=64, num_levels=1,
+                               num_cams=ncam, with_cp=with_cp)
+        vars_ = enc.init(jax.random.PRNGKey(0), q, val, bev_h, bev_w,
+                         lidar2img=l2i, img_shape=(64, 176),
+                         spatial_shapes=sshapes, train=False)
+
+        def loss(v):
+            out = enc.apply(v, q, val, bev_h, bev_w, lidar2img=l2i,
+                            img_shape=(64, 176),
+                            spatial_shapes=sshapes, train=True,
+                            rngs={"dropout": jax.random.PRNGKey(1)})
+            return (out ** 2).sum()
+
+        g = jax.grad(loss)(vars_)
+        return loss(vars_), g
+
+    l0, g0 = run(False)
+    l1, g1 = run(True)
+    assert np.allclose(float(l0), float(l1), rtol=1e-5)
+    f0 = jax.tree_util.tree_leaves(g0)
+    f1 = jax.tree_util.tree_leaves(g1)
+    for a, b_ in zip(f0, f1):
+        assert np.allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
