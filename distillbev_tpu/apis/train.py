@@ -169,9 +169,13 @@ def train_model(cfg, work_dir: str, resume_from: Optional[str] = None,
     state = init_train_state(variables["params"],
                              variables.get("batch_stats", {}), tx)
 
+    # cfg.fp16 (the reference's Fp16OptimizerHook trigger,
+    # apis/mmdet_train.py:133-136) -> bf16 mixed precision on TPU
+    mixed = bool(cfg.get("fp16", None))
     if is_distill:
-        step_fn = jax.jit(make_distill_train_step(model, teacher, tx),
-                          donate_argnums=(0,))
+        step_fn = jax.jit(make_distill_train_step(
+            model, teacher, tx, mixed_precision=mixed),
+            donate_argnums=(0,))
     else:
         base_step = make_detector_train_step(model, tx)
         step_fn = jax.jit(lambda s, t, b, e: base_step(s, b),
