@@ -71,6 +71,28 @@ def _bilinear_gather(value: jnp.ndarray,
     return out
 
 
+def _attn_all_levels(value, spatial_shapes, loc, weight):
+    """[B, Q, M, L, P, 2] locations -> [B, Q, M, C] for all levels."""
+    bsz, _, m, c = value.shape
+    q = loc.shape[1]
+    out = jnp.zeros((bsz, q, m, c), value.dtype)
+    offset = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = jax.lax.dynamic_slice_in_dim(value, offset, h * w, axis=1)
+        sampled = _bilinear_gather(v, loc[:, :, :, lvl], h, w)
+        out = out + jnp.einsum(
+            "bqmpc,bqmp->bqmc", sampled, weight[:, :, :, lvl])
+        offset += h * w
+    return out
+
+
+# peak gather temp is [B*M*Qc*P, C] per corner; cap the row count so the
+# (8,128)-tile padded buffers stay ~100 MB even at BEVFormer-SCA sizes
+# (B*Q*M*P can reach 10M rows at bev 200x200 — unchunked, those temps
+# OOM a 16 GB chip in the backward)
+_MAX_GATHER_ROWS = 1 << 20
+
+
 def ms_deform_attn(value: jnp.ndarray,
                    spatial_shapes: Sequence[Tuple[int, int]],
                    sampling_locations: jnp.ndarray,
@@ -89,13 +111,31 @@ def ms_deform_attn(value: jnp.ndarray,
     q = sampling_locations.shape[1]
     num_levels = len(spatial_shapes)
     assert sampling_locations.shape[3] == num_levels
-    out = jnp.zeros((bsz, q, m, c), value.dtype)
-    offset = 0
-    for lvl, (h, w) in enumerate(spatial_shapes):
-        v = jax.lax.dynamic_slice_in_dim(value, offset, h * w, axis=1)
-        sampled = _bilinear_gather(
-            v, sampling_locations[:, :, :, lvl], h, w)  # [B,Q,M,P,C]
-        out = out + jnp.einsum(
-            "bqmpc,bqmp->bqmc", sampled, attention_weights[:, :, :, lvl])
-        offset += h * w
+    p = sampling_locations.shape[4]
+
+    rows = bsz * q * m * p
+    n_chunks = max(1, -(-rows // _MAX_GATHER_ROWS))
+    if n_chunks > 1:
+        # sequential lax.map over query chunks bounds the live gather
+        # temps in forward AND backward (the scan transpose accumulates
+        # dvalue chunk by chunk)
+        qc = -(-q // n_chunks)
+        pad = n_chunks * qc - q
+        loc = jnp.pad(sampling_locations,
+                      ((0, 0), (0, pad)) + ((0, 0),) * 4)
+        wgt = jnp.pad(attention_weights,
+                      ((0, 0), (0, pad)) + ((0, 0),) * 3)
+        loc = loc.reshape((bsz, n_chunks, qc) + loc.shape[2:])
+        wgt = wgt.reshape((bsz, n_chunks, qc) + wgt.shape[2:])
+        loc = jnp.moveaxis(loc, 1, 0)
+        wgt = jnp.moveaxis(wgt, 1, 0)
+        out = jax.lax.map(
+            lambda lw: _attn_all_levels(value, spatial_shapes,
+                                        lw[0], lw[1]),
+            (loc, wgt))                        # [nc, B, qc, M, C]
+        out = jnp.moveaxis(out, 0, 1).reshape(bsz, n_chunks * qc, m, c)
+        out = out[:, :q]
+    else:
+        out = _attn_all_levels(value, spatial_shapes,
+                               sampling_locations, attention_weights)
     return out.reshape(bsz, q, m * c)
