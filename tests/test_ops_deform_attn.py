@@ -91,3 +91,32 @@ class TestMSDeformAttn:
         assert np.isfinite(np.asarray(gv)).all()
         assert np.isfinite(np.asarray(gl)).all()
         assert float(jnp.abs(gl).sum()) > 0  # grads flow into locations
+
+
+def test_query_chunking_parity(rng):
+    """The sequential query-chunked path (big-Q memory bound) matches
+    the unchunked one, values and grads."""
+    import importlib
+    import jax
+    mda = importlib.import_module("distillbev_tpu.ops.ms_deform_attn")
+    b, hw, m, c, q, L, p = 1, 44, 4, 8, 300, 1, 4
+    value = jnp.asarray(rng.randn(b, hw, m, c).astype(np.float32))
+    loc = jnp.asarray(rng.rand(b, q, m, L, p, 2).astype(np.float32))
+    wgt = jax.nn.softmax(jnp.asarray(
+        rng.randn(b, q, m, L, p).astype(np.float32)))
+    shapes = ((4, 11),)
+    full = mda.ms_deform_attn(value, shapes, loc, wgt)
+    g_full = jax.grad(lambda v: (mda.ms_deform_attn(
+        v, shapes, loc, wgt) ** 2).sum())(value)
+    orig = mda._MAX_GATHER_ROWS
+    try:
+        mda._MAX_GATHER_ROWS = 256        # force ~19 chunks
+        chunked = mda.ms_deform_attn(value, shapes, loc, wgt)
+        g_chunk = jax.grad(lambda v: (mda.ms_deform_attn(
+            v, shapes, loc, wgt) ** 2).sum())(value)
+    finally:
+        mda._MAX_GATHER_ROWS = orig
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_chunk),
+                               atol=1e-4)
