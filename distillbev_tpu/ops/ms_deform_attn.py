@@ -80,8 +80,14 @@ def _attn_all_levels(value, spatial_shapes, loc, weight):
     for lvl, (h, w) in enumerate(spatial_shapes):
         v = jax.lax.dynamic_slice_in_dim(value, offset, h * w, axis=1)
         sampled = _bilinear_gather(v, loc[:, :, :, lvl], h, w)
+        # keep the sampled temp in the value dtype (fp32 softmax weights
+        # would promote the [B,Q,M,P,C] buffer — under bf16 mixed
+        # precision that doubles the largest attention temps); the P-axis
+        # reduction accumulates fp32 via preferred_element_type
         out = out + jnp.einsum(
-            "bqmpc,bqmp->bqmc", sampled, weight[:, :, :, lvl])
+            "bqmpc,bqmp->bqmc", sampled,
+            weight[:, :, :, lvl].astype(value.dtype),
+            preferred_element_type=jnp.float32).astype(value.dtype)
         offset += h * w
     return out
 
