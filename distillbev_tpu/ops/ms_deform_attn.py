@@ -60,10 +60,15 @@ def _bilinear_gather(value: jnp.ndarray,
         v = v.transpose(0, 2, 1, 3, 4)            # [B, Q, M, P, C]
         return jnp.where(ok[..., None], v, 0.0)
 
-    w00 = (1 - lx) * (1 - ly)
-    w01 = lx * (1 - ly)
-    w10 = (1 - lx) * ly
-    w11 = lx * ly
+    # lerp weights in the VALUE dtype: sampling locations are forced
+    # fp32 (reference point_sampling semantics), and fp32 weights would
+    # promote every [B,Q,M,P,C] corner product — under bf16 mixed
+    # precision that doubles the largest attention temps in HBM
+    dt = value.dtype
+    w00 = ((1 - lx) * (1 - ly)).astype(dt)
+    w01 = (lx * (1 - ly)).astype(dt)
+    w10 = ((1 - lx) * ly).astype(dt)
+    w11 = (lx * ly).astype(dt)
     out = (corner(y0i, x0i) * w00[..., None] +
            corner(y0i, x0i + 1) * w01[..., None] +
            corner(y0i + 1, x0i) * w10[..., None] +
