@@ -18,6 +18,7 @@ the MXU.  Out-of-range samples contribute zero, matching the align_corners
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Sequence, Tuple
 
 import jax
@@ -76,6 +77,70 @@ def _bilinear_gather(value: jnp.ndarray,
     return out
 
 
+def _bilinear_gather_bwd(value, loc_xy, wgt, dout, h, w):
+    """Hand-derived backward of (bilinear gather x attention weight)
+    for one level: returns (dvalue, dloc_xy, dwgt).
+
+    value [B,HW,M,C]; loc_xy [B,Q,M,P,2]; wgt [B,Q,M,P];
+    dout [B,Q,M,C].  Mirrors the reference CUDA backward
+    (multi_scale_deformable_attn_function.py / ms_deform_attn_backward):
+    everything is recomputed here, nothing saved from the forward.
+    """
+    bsz, hw, m, c = value.shape
+    x = loc_xy[..., 0] * w - 0.5
+    y = loc_xy[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = (x - x0).astype(value.dtype)
+    ly = (y - y0).astype(value.dtype)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    value_t = value.transpose(0, 2, 1, 3)              # [B,M,HW,C]
+    q, p = x.shape[1], x.shape[3]
+
+    def corner_vals(yi, xi):
+        ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        flat = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        idx = flat.transpose(0, 2, 1, 3).reshape(bsz, m, -1)
+        v = jnp.take_along_axis(value_t, idx[..., None], axis=2)
+        v = v.reshape(bsz, m, q, p, c).transpose(0, 2, 1, 3, 4)
+        return jnp.where(ok[..., None], v, 0.0), ok, flat
+
+    corners = [corner_vals(y0i, x0i), corner_vals(y0i, x0i + 1),
+               corner_vals(y0i + 1, x0i), corner_vals(y0i + 1, x0i + 1)]
+    ws = [(1 - lx) * (1 - ly), lx * (1 - ly),
+          (1 - lx) * ly, lx * ly]
+    dws_dx = [-(1 - ly), (1 - ly), -ly, ly]
+    dws_dy = [-(1 - lx), -lx, (1 - lx), lx]
+
+    # dout contracted with each corner: g_c[bqmp] = <dout_bqm, v_c>
+    gdot = [jnp.einsum("bqmc,bqmpc->bqmp", dout, v)
+            for (v, _, _) in corners]
+    sampled_dot = sum(wc * gc for wc, gc in zip(ws, gdot))
+    dwgt = sampled_dot                                  # [B,Q,M,P]
+
+    wgt_t = wgt.astype(value.dtype)
+    dx = sum(dwx * gc for dwx, gc in zip(dws_dx, gdot)) * wgt_t
+    dy = sum(dwy * gc for dwy, gc in zip(dws_dy, gdot)) * wgt_t
+    dloc = jnp.stack([dx * w, dy * h], axis=-1).astype(loc_xy.dtype)
+
+    # dvalue: scatter-add w_c * wgt * dout rows into each corner cell
+    dval_t = jnp.zeros((bsz, m, hw, c), jnp.float32)
+    rows_base = jnp.einsum("bqmp,bqmc->bmqpc", wgt_t, dout)
+    for (v, ok, flat), wc in zip(corners, ws):
+        rows = rows_base * wc.transpose(0, 2, 1, 3)[..., None]
+        idx = jnp.where(ok, flat, hw).transpose(0, 2, 1, 3)
+        dval_t = dval_t.at[
+            jnp.arange(bsz)[:, None, None],
+            jnp.arange(m)[None, :, None],
+            idx.reshape(bsz, m, -1)].add(
+            rows.reshape(bsz, m, -1, c).astype(jnp.float32),
+            mode="drop")
+    dvalue = dval_t.transpose(0, 2, 1, 3).astype(value.dtype)
+    return dvalue, dloc, dwgt.astype(wgt.dtype)
+
+
 def _attn_all_levels(value, spatial_shapes, loc, weight):
     """[B, Q, M, L, P, 2] locations -> [B, Q, M, C] for all levels."""
     bsz, _, m, c = value.shape
@@ -104,6 +169,92 @@ def _attn_all_levels(value, spatial_shapes, loc, weight):
 _MAX_GATHER_ROWS = 1 << 20
 
 
+def _chunk_qaxis(arrs, q, n_chunks):
+    """Pad + reshape [B, Q, ...] arrays to chunk-major [nc, B, qc, ...]."""
+    qc = -(-q // n_chunks)
+    pad = n_chunks * qc - q
+    out = []
+    for a in arrs:
+        a = jnp.pad(a, ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2))
+        a = a.reshape((a.shape[0], n_chunks, qc) + a.shape[2:])
+        out.append(jnp.moveaxis(a, 1, 0))
+    return out, qc
+
+
+def _attn_chunked(value, spatial_shapes, loc, weight):
+    """[B, Q, M, C] output with the query axis processed in sequential
+    chunks when the gather row count is large."""
+    bsz, _, m, c = value.shape
+    q, p = loc.shape[1], loc.shape[4]
+    rows = bsz * q * m * p
+    n_chunks = max(1, -(-rows // _MAX_GATHER_ROWS))
+    if n_chunks == 1:
+        return _attn_all_levels(value, spatial_shapes, loc, weight)
+    (locs, wgts), qc = _chunk_qaxis([loc, weight], q, n_chunks)
+    out = jax.lax.map(
+        lambda lw: _attn_all_levels(value, spatial_shapes, lw[0], lw[1]),
+        (locs, wgts))                          # [nc, B, qc, M, C]
+    out = jnp.moveaxis(out, 0, 1).reshape(bsz, n_chunks * qc, m, c)
+    return out[:, :q]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _attn_cvjp(value, spatial_shapes, loc, weight):
+    return _attn_chunked(value, spatial_shapes, loc, weight)
+
+
+def _attn_cvjp_fwd(value, spatial_shapes, loc, weight):
+    # residuals are just the op inputs — the hand-written backward
+    # recomputes every gather/lerp, so NO [B,Q,M,P,C] temp survives the
+    # forward (the reference hand-writes this backward for the same
+    # reason, multi_scale_deformable_attn_function.py:1-162)
+    return _attn_chunked(value, spatial_shapes, loc, weight), \
+        (value, loc, weight)
+
+
+def _attn_cvjp_bwd(spatial_shapes, res, g):
+    value, loc, weight = res
+    bsz, hw_total, m, c = value.shape
+    q, num_levels, p = loc.shape[1], loc.shape[3], loc.shape[4]
+    rows = bsz * q * m * p
+    n_chunks = max(1, -(-rows // _MAX_GATHER_ROWS))
+    (locs, wgts, gs), qc = _chunk_qaxis([loc, weight, g], q, n_chunks)
+
+    def chunk_bwd(dval_acc, args):
+        locc, wgtc, gc = args
+        dval_c = jnp.zeros((bsz, hw_total, m, c), jnp.float32)
+        dls, dws = [], []
+        offset = 0
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            v = jax.lax.dynamic_slice_in_dim(value, offset, h * w,
+                                             axis=1)
+            dv, dl, dw = _bilinear_gather_bwd(
+                v, locc[:, :, :, lvl], wgtc[:, :, :, lvl], gc, h, w)
+            dval_c = jax.lax.dynamic_update_slice_in_dim(
+                dval_c,
+                jax.lax.dynamic_slice_in_dim(
+                    dval_c, offset, h * w, axis=1) + dv.astype(
+                    jnp.float32),
+                offset, axis=1)
+            dls.append(dl)
+            dws.append(dw)
+            offset += h * w
+        return dval_acc + dval_c, (jnp.stack(dls, axis=3),
+                                   jnp.stack(dws, axis=3))
+
+    dval, (dlocs, dwgts) = jax.lax.scan(
+        chunk_bwd, jnp.zeros((bsz, hw_total, m, c), jnp.float32),
+        (locs, wgts, gs))
+    dloc = jnp.moveaxis(dlocs, 0, 1).reshape(
+        (bsz, n_chunks * qc) + loc.shape[2:])[:, :q]
+    dwgt = jnp.moveaxis(dwgts, 0, 1).reshape(
+        (bsz, n_chunks * qc) + weight.shape[2:])[:, :q]
+    return dval.astype(value.dtype), dloc, dwgt
+
+
+_attn_cvjp.defvjp(_attn_cvjp_fwd, _attn_cvjp_bwd)
+
+
 def ms_deform_attn(value: jnp.ndarray,
                    spatial_shapes: Sequence[Tuple[int, int]],
                    sampling_locations: jnp.ndarray,
@@ -122,31 +273,7 @@ def ms_deform_attn(value: jnp.ndarray,
     q = sampling_locations.shape[1]
     num_levels = len(spatial_shapes)
     assert sampling_locations.shape[3] == num_levels
-    p = sampling_locations.shape[4]
-
-    rows = bsz * q * m * p
-    n_chunks = max(1, -(-rows // _MAX_GATHER_ROWS))
-    if n_chunks > 1:
-        # sequential lax.map over query chunks bounds the live gather
-        # temps in forward AND backward (the scan transpose accumulates
-        # dvalue chunk by chunk)
-        qc = -(-q // n_chunks)
-        pad = n_chunks * qc - q
-        loc = jnp.pad(sampling_locations,
-                      ((0, 0), (0, pad)) + ((0, 0),) * 4)
-        wgt = jnp.pad(attention_weights,
-                      ((0, 0), (0, pad)) + ((0, 0),) * 3)
-        loc = loc.reshape((bsz, n_chunks, qc) + loc.shape[2:])
-        wgt = wgt.reshape((bsz, n_chunks, qc) + wgt.shape[2:])
-        loc = jnp.moveaxis(loc, 1, 0)
-        wgt = jnp.moveaxis(wgt, 1, 0)
-        out = jax.lax.map(
-            lambda lw: _attn_all_levels(value, spatial_shapes,
-                                        lw[0], lw[1]),
-            (loc, wgt))                        # [nc, B, qc, M, C]
-        out = jnp.moveaxis(out, 0, 1).reshape(bsz, n_chunks * qc, m, c)
-        out = out[:, :q]
-    else:
-        out = _attn_all_levels(value, spatial_shapes,
-                               sampling_locations, attention_weights)
+    shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    out = _attn_cvjp(value, shapes, sampling_locations,
+                     attention_weights)
     return out.reshape(bsz, q, m * c)
