@@ -51,7 +51,7 @@ model = dict(
     img_backbone=dict(type="ResNet", depth=50, num_stages=4,
                       out_indices=(1, 2, 3), frozen_stages=1,
                       norm_cfg=dict(type="BN", requires_grad=False),
-                      norm_eval=True),
+                      norm_eval=True, with_cp=True),
     img_neck=dict(type="FPN", in_channels=[512, 1024, 2048],
                   out_channels=_dim_, start_level=0,
                   add_extra_convs="on_output", num_outs=4,
