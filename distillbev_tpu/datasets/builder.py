@@ -68,9 +68,18 @@ class EpochSampler:
         return order[self.shard_index::self.num_shards]
 
 
-def _proc_worker(dataset, task_q, result_q):
+def _worker_seed(seed: int, epoch: int, worker_id: int) -> int:
+    """Distinct, deterministic numpy seed per (run seed, epoch, worker).
+    Fork inherits the parent's np.random state verbatim, so without this
+    every worker would draw the identical augmentation stream and repeat
+    it every epoch (the PyTorch worker_init_fn problem)."""
+    return (seed * 1000003 + epoch * 8191 + worker_id) & 0xFFFFFFFF
+
+
+def _proc_worker(dataset, task_q, result_q, reseed: int):
     """Worker-process loop: indices in, collated batches out.  Runs
     pure numpy/PIL/C++ code — never JAX."""
+    np.random.seed(reseed)
     while True:
         item = task_q.get()
         if item is None:
@@ -103,6 +112,7 @@ class DataLoader:
                 use_processes = os.name == "posix" and \
                     self.num_workers > 1
         self.use_processes = use_processes
+        self.seed = seed
         self.sampler = EpochSampler(len(dataset), shuffle, seed,
                                     shard_index, num_shards)
         self.epoch = 0
@@ -130,25 +140,54 @@ class DataLoader:
         """Fan indices out to fork()ed workers; yield batches in order
         (a reorder buffer keeps the sampler's determinism)."""
         batches = self._batches()
+        nw = self.num_workers
         ctx = mp.get_context("fork")
-        task_q = ctx.Queue()
-        result_q = ctx.Queue(maxsize=self.num_workers * 2)
-        procs = [ctx.Process(target=_proc_worker,
-                             args=(self.dataset, task_q, result_q),
-                             daemon=True)
-                 for _ in range(self.num_workers)]
+        # One task queue per worker: batch->worker assignment is
+        # deterministic round-robin (bid % nw), so each worker's RNG
+        # stream meets the same batches every run — (seed, epoch)
+        # fully reproduces the epoch's augmentations.
+        task_qs = [ctx.Queue() for _ in range(nw)]
+        result_q = ctx.Queue(maxsize=nw * 2)
+        procs = [ctx.Process(
+            target=_proc_worker,
+            args=(self.dataset, task_qs[wid], result_q,
+                  _worker_seed(self.seed, self.epoch, wid)),
+            daemon=True)
+            for wid in range(nw)]
         for p in procs:
             p.start()
         try:
-            for bid, b in enumerate(batches):
-                task_q.put((bid, b))
-            for _ in procs:
-                task_q.put(None)
+            # Feed incrementally so the reorder buffer stays bounded:
+            # with the whole epoch enqueued up front, one slow batch
+            # lets the other workers race ahead and the parent buffers
+            # an unbounded prefix of completed ~100MB batches.
+            iters = [iter([(bid, b) for bid, b in enumerate(batches)
+                           if bid % nw == wid]) for wid in range(nw)]
+            in_flight = [0] * nw
+            done = [False] * nw
+            max_per_worker = 2
+
+            def feed(wid):
+                while in_flight[wid] < max_per_worker:
+                    try:
+                        bid, b = next(iters[wid])
+                    except StopIteration:
+                        if not done[wid]:
+                            task_qs[wid].put(None)
+                            done[wid] = True
+                        return
+                    task_qs[wid].put((bid, b))
+                    in_flight[wid] += 1
+
+            for wid in range(nw):
+                feed(wid)
             pending: dict = {}
             for want in range(len(batches)):
                 while want not in pending:
                     bid, batch = result_q.get()
+                    in_flight[bid % nw] -= 1
                     pending[bid] = batch
+                    feed(bid % nw)
                 yield pending.pop(want)
         finally:
             for p in procs:
@@ -162,6 +201,7 @@ class DataLoader:
         stop = threading.Event()
 
         def worker():
+            np.random.seed(_worker_seed(self.seed, self.epoch, 0))
             try:
                 for b in batches:
                     if stop.is_set():

@@ -60,7 +60,7 @@ class LoadMultiViewImageFromFiles_BEVDet:
                  sequential: bool = False, aligned: bool = False,
                  trans_only: bool = True, root_path: str = "",
                  bevdepth_norm: bool = False, file_client_args=None,
-                 fast_jpeg_decode: bool = True):
+                 fast_jpeg_decode=None):
         self.data_config = dict(data_config)
         self.is_train = is_train
         self.sequential = sequential
@@ -72,7 +72,11 @@ class LoadMultiViewImageFromFiles_BEVDet:
         # above the resize target (PIL draft).  ~4x cheaper decode+resize
         # at nuScenes sizes (1600x900 -> 704x396); the aug homography is
         # exact (resize_dims/crop are absolute), pixel values differ
-        # slightly from full-resolution resampling (deviation flag ≈)
+        # slightly from full-resolution resampling (deviation flag ≈).
+        # Default: train pipelines only, so eval-metric parity runs
+        # against reference checkpoints use exact full-res decoding.
+        if fast_jpeg_decode is None:
+            fast_jpeg_decode = is_train
         self.fast_jpeg_decode = fast_jpeg_decode
 
     # -- augmentation sampling (reference sample_augmentation:215-240) --

@@ -114,15 +114,22 @@ def _bilinear_gather_bwd(value, loc_xy, wgt, dout, h, w):
     dws_dx = [-(1 - ly), (1 - ly), -ly, ly]
     dws_dy = [-(1 - lx), -lx, (1 - lx), lx]
 
-    # dout contracted with each corner: g_c[bqmp] = <dout_bqm, v_c>
-    gdot = [jnp.einsum("bqmc,bqmpc->bqmp", dout, v)
+    # dout contracted with each corner: g_c[bqmp] = <dout_bqm, v_c>.
+    # The channel reduction accumulates in fp32 (like the forward's
+    # preferred_element_type) so bf16 inputs don't degrade dloc/dwgt.
+    gdot = [jnp.einsum("bqmc,bqmpc->bqmp", dout, v,
+                       preferred_element_type=jnp.float32)
             for (v, _, _) in corners]
-    sampled_dot = sum(wc * gc for wc, gc in zip(ws, gdot))
-    dwgt = sampled_dot                                  # [B,Q,M,P]
+    sampled_dot = sum(wc.astype(jnp.float32) * gc
+                      for wc, gc in zip(ws, gdot))
+    dwgt = sampled_dot                                  # [B,Q,M,P] fp32
 
     wgt_t = wgt.astype(value.dtype)
-    dx = sum(dwx * gc for dwx, gc in zip(dws_dx, gdot)) * wgt_t
-    dy = sum(dwy * gc for dwy, gc in zip(dws_dy, gdot)) * wgt_t
+    wgt_f = wgt.astype(jnp.float32)
+    dx = sum(dwx.astype(jnp.float32) * gc
+             for dwx, gc in zip(dws_dx, gdot)) * wgt_f
+    dy = sum(dwy.astype(jnp.float32) * gc
+             for dwy, gc in zip(dws_dy, gdot)) * wgt_f
     dloc = jnp.stack([dx * w, dy * h], axis=-1).astype(loc_xy.dtype)
 
     # dvalue: scatter-add w_c * wgt * dout rows into each corner cell

@@ -41,7 +41,11 @@ def assign_score_withk(scores: jnp.ndarray,
             Ids outside [0, N) contribute nothing (reference kernel's
             overflow `continue`).
         aggregate: 'sum' | 'avg' | 'max' over the K axis, plus the raw
-            'none' per-neighbor output [B, O, npoint, K].
+            'none' per-neighbor output [B, O, npoint, K].  NOTE: the
+            reference CUDA op (ops/paconv/) ignores its aggregate flag
+            and always returns the per-neighbor [B, O, npoint, K]
+            (PAConv max-pools over K later) — reference-parity call
+            sites must pass aggregate='none' here.
 
     Returns:
         [B, O, npoint] aggregated features ([B, O, npoint, K] for 'none').

@@ -245,3 +245,40 @@ class TestDataset:
         assert metrics["pts_bbox_NuScenes/mAP"] > 0.99
         assert metrics["pts_bbox_NuScenes/NDS"] > 0.9
         assert metrics["pts_bbox_NuScenes/mTRANS_ERR"] < 0.05
+
+
+class _RandDrawDataset:
+    """Each sample records the worker's np.random draw — a stand-in for
+    an augmentation transform (regression for the round-1 advisor
+    finding: forked workers inheriting one identical RNG state)."""
+
+    def __len__(self):
+        return 16
+
+    def __getitem__(self, i):
+        return {"idx": np.array([i], np.int64),
+                "draw": np.random.uniform(size=(1, 4)).astype(
+                    np.float32),
+                "img_metas": {"sample_idx": i}}
+
+
+class TestLoaderWorkerRNG:
+    def _epoch_draws(self, loader, epoch):
+        loader.set_epoch(epoch)
+        batches = list(loader)
+        order = np.concatenate([b["idx"][:, 0] for b in batches])
+        assert (order == np.arange(16)).all()
+        return np.concatenate([b["draw"] for b in batches])
+
+    def test_process_workers_diverse_and_reproducible(self):
+        from distillbev_tpu.datasets.builder import DataLoader
+        loader = DataLoader(_RandDrawDataset(), batch_size=2,
+                            shuffle=False, num_workers=2, seed=7,
+                            use_processes=True)
+        d0 = self._epoch_draws(loader, 0)
+        d1 = self._epoch_draws(loader, 1)
+        assert not np.allclose(d0, d1)          # epochs differ
+        uniq = {tuple(r) for r in np.round(d0, 6).reshape(16, 4)}
+        assert len(uniq) == 16                  # workers differ
+        again = self._epoch_draws(loader, 0)    # (seed, epoch) determin.
+        assert np.allclose(d0, again)
