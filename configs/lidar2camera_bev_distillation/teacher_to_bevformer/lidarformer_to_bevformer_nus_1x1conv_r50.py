@@ -90,7 +90,59 @@ model = dict(
     test_cfg=dict(pts=dict()),
 )
 
-data = dict(samples_per_gpu=1, workers_per_gpu=4)
+dataset_type = "CustomNuScenesDataset"
+data_root = "data/nuscenes/"
+input_modality = dict(use_lidar=True, use_camera=True, use_radar=False,
+                      use_map=False, use_external=False)
+img_norm_cfg = dict(mean=[103.530, 116.280, 123.675],
+                    std=[1.0, 1.0, 1.0], to_rgb=False)
+
+train_pipeline = [
+    dict(type="LoadMultiViewImageFromFiles", to_float32=True),
+    dict(type="LoadPointsFromFile", coord_type="LIDAR", load_dim=5,
+         use_dim=5),
+    dict(type="LoadPointsFromMultiSweeps", sweeps_num=9,
+         use_dim=[0, 1, 2, 3, 4], pad_empty_sweeps=True,
+         remove_close=True),
+    dict(type="PhotoMetricDistortionMultiViewImage"),
+    dict(type="LoadAnnotations3D", with_bbox_3d=True,
+         with_label_3d=True),
+    dict(type="PointsRangeFilter", point_cloud_range=point_cloud_range),
+    dict(type="ObjectRangeFilter", point_cloud_range=point_cloud_range),
+    dict(type="ObjectNameFilter", classes=class_names),
+    dict(type="NormalizeMultiviewImage", **img_norm_cfg),
+    dict(type="PadMultiViewImage", size_divisor=32),
+    dict(type="DefaultFormatBundle3D", class_names=class_names),
+    dict(type="CustomCollect3D",
+         keys=["gt_bboxes_3d", "gt_labels_3d", "img", "points"]),
+]
+test_pipeline = [
+    dict(type="LoadMultiViewImageFromFiles", to_float32=True),
+    dict(type="NormalizeMultiviewImage", **img_norm_cfg),
+    dict(type="PadMultiViewImage", size_divisor=32),
+    dict(type="CustomCollect3D", keys=["img"]),
+]
+
+data = dict(
+    samples_per_gpu=1,
+    workers_per_gpu=4,
+    train=dict(type=dataset_type, data_root=data_root,
+               ann_file=data_root + "nuscenes_infos_temporal_train.pkl",
+               pipeline=train_pipeline, classes=class_names,
+               modality=input_modality, test_mode=False,
+               use_valid_flag=True, bev_size=(bev_h_, bev_w_),
+               queue_length=queue_length, box_type_3d="LiDAR"),
+    val=dict(type=dataset_type, data_root=data_root,
+             ann_file=data_root + "nuscenes_infos_temporal_val.pkl",
+             pipeline=test_pipeline, classes=class_names,
+             modality=input_modality, test_mode=True,
+             bev_size=(bev_h_, bev_w_)),
+    test=dict(type=dataset_type, data_root=data_root,
+              ann_file=data_root + "nuscenes_infos_temporal_val.pkl",
+              pipeline=test_pipeline, classes=class_names,
+              modality=input_modality, test_mode=True,
+              bev_size=(bev_h_, bev_w_)),
+)
 
 optimizer = dict(
     type="AdamW", lr=2e-4, weight_decay=0.01,

@@ -22,6 +22,10 @@ def run_eval(model, variables, dataset, loader, family: str = "points",
     import jax
     from .train import batch_to_device
 
+    if family == "bevformer":
+        return _run_eval_bevformer(model, variables, loader,
+                                   logger=logger)
+
     @jax.jit
     def infer_points(batch):
         preds, _ = model.apply(variables, batch.points, batch.point_mask)
@@ -48,6 +52,70 @@ def run_eval(model, variables, dataset, loader, family: str = "points",
             token = meta.get("sample_idx")
             results[token] = (boxes[bi], scores[bi], labels[bi],
                               valid[bi])
+    return results
+
+
+def _run_eval_bevformer(model, variables, loader,
+                        logger=None) -> Dict[str, Any]:
+    """BEVFormer sequential eval with the scene-token ``prev_frame_info``
+    state machine (reference bevformer.py:233-266): a scene change
+    resets the history BEV; within a scene the can-bus position/angle
+    are rebased to per-frame deltas before each forward, and the frame's
+    bev_embed becomes the next frame's history.  One jitted trace serves
+    both cases: prev_bev is always an array and ``prev_valid`` gates it.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    head_cfg = dict(model.pts_bbox_head or {})
+    bev_h = head_cfg.get("bev_h", 200)
+    bev_w = head_cfg.get("bev_w", 200)
+    embed = head_cfg.get("embed_dims", 256)
+    video = bool(getattr(model, "video_test_mode", True))
+
+    @jax.jit
+    def infer(imgs, can_bus, l2i, prev_bev, prev_valid):
+        outs = model.apply(variables, imgs, can_bus, l2i, prev_bev,
+                           prev_valid, method=model.forward_test_frame)
+        dec = model.apply(variables, outs, method=model.get_bboxes)
+        return outs["bev_embed"], dec
+
+    prev_bev = jnp.zeros((1, bev_h * bev_w, embed), jnp.float32)
+    prev_scene = None
+    prev_pos = np.zeros(3)
+    prev_angle = 0.0
+    results: Dict[str, Any] = {}
+    for raw in loader:
+        metas = raw["img_metas"]
+        assert len(metas) == 1, \
+            "BEVFormer eval is sequential (samples_per_gpu=1)"
+        meta = metas[0]
+        scene = meta.get("scene_token")
+        can_bus = np.array(meta["can_bus"], np.float64).copy()
+        tmp_pos = can_bus[:3].copy()
+        tmp_angle = can_bus[-1]
+        valid = video and scene == prev_scene
+        if valid:
+            can_bus[:3] -= prev_pos
+            can_bus[-1] -= prev_angle
+        else:
+            can_bus[:3] = 0
+            can_bus[-1] = 0
+        imgs = jnp.asarray(raw["img"], jnp.float32)
+        l2i = jnp.asarray(np.stack(meta["lidar2img"]),
+                          jnp.float32)[None]
+        bev, dec = infer(imgs,
+                         jnp.asarray(can_bus, jnp.float32)[None], l2i,
+                         prev_bev,
+                         jnp.asarray([1.0 if valid else 0.0],
+                                     jnp.float32))
+        prev_bev, prev_scene = bev, scene
+        prev_pos, prev_angle = tmp_pos, tmp_angle
+        token = meta.get("sample_idx")
+        results[token] = (np.asarray(dec.bboxes)[0],
+                          np.asarray(dec.scores)[0],
+                          np.asarray(dec.labels)[0],
+                          np.asarray(dec.valid)[0])
     return results
 
 

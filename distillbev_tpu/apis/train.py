@@ -52,6 +52,22 @@ def batch_to_device(batch: Dict, family: str):
             _gt("gt_boxes", (b, 1, 9), jnp.float32),
             _gt("gt_labels", (b, 1), jnp.int32),
             _gt("gt_mask", (b, 1), bool))
+    if family == "bevformer":
+        from ..training.train_step import BEVFormerBatch
+        b = batch["img"].shape[0]
+        npts = batch["points"].shape[1] if "points" in batch else 1
+        return BEVFormerBatch(
+            jnp.asarray(batch["img"]),
+            jnp.asarray(batch["can_bus"]),
+            jnp.asarray(batch["lidar2img"]),
+            jnp.asarray(batch["prev_bev_exists"]),
+            jnp.asarray(batch["points"]) if "points" in batch else
+            jnp.zeros((b, npts, 5), jnp.float32),
+            jnp.asarray(batch["point_mask"]) if "point_mask" in batch
+            else jnp.zeros((b, npts), bool),
+            _gt("gt_boxes", (b, 1, 9), jnp.float32),
+            _gt("gt_labels", (b, 1), jnp.int32),
+            _gt("gt_mask", (b, 1), bool))
     raise NotImplementedError(family)
 
 
@@ -92,6 +108,7 @@ def train_model(cfg, work_dir: str, resume_from: Optional[str] = None,
 
     model_cfg = dict(cfg.model)
     is_distill = "Distill" in model_cfg["type"]
+    is_bevformer = "BEVFormer" in model_cfg["type"]
     model = build_detector(model_cfg, cfg.get("train_cfg"),
                            cfg.get("test_cfg"))
 
@@ -114,7 +131,8 @@ def train_model(cfg, work_dir: str, resume_from: Optional[str] = None,
 
     # init on a single sample
     first = next(iter(loader))
-    family = "distill" if is_distill else "points"
+    family = "bevformer" if is_bevformer else \
+        ("distill" if is_distill else "points")
     batch0 = batch_to_device(
         jax.tree_util.tree_map(lambda x: x[:1] if hasattr(
             x, "shape") else x,
@@ -135,13 +153,49 @@ def train_model(cfg, work_dir: str, resume_from: Optional[str] = None,
             _, t_bundle = jax.jit(teacher.apply)(
                 tvars, batch0.points, batch0.point_mask)
             from functools import partial
-            variables = jax.jit(partial(
-                model.init, method="init_with_teacher"))(
-                rng, batch0.img_inputs, t_bundle)
-            if model_cfg.get("inherit_head"):
+            if is_bevformer:
+                # transformer student init signature (reference
+                # custom_train path, tools/train.py:234-242)
+                variables = jax.jit(partial(
+                    model.init, method="init_with_teacher"))(
+                    rng, batch0.imgs, batch0.can_bus, batch0.lidar2img,
+                    batch0.prev_exists, t_bundle.bev_feat)
+            else:
+                variables = jax.jit(partial(
+                    model.init, method="init_with_teacher"))(
+                    rng, batch0.img_inputs, t_bundle)
+            selectors = []
+            if is_bevformer:
+                # transformer-path inheritance flags (reference
+                # bevformer_distill.py:266-285)
+                if model_cfg.get("inherit_head"):
+                    selectors += [r"cls_\d+_.*", r"reg_\d+_.*"]
+                if model_cfg.get("inherit_decoder"):
+                    selectors += [r"decoder"]
+                if model_cfg.get("inherit_query"):
+                    selectors += [r"query_embedding"]
+            if selectors:
+                from ..training.param_utils import \
+                    inherit_params_by_selectors
+                variables = dict(variables)
+                variables["params"] = inherit_params_by_selectors(
+                    variables["params"], tvars["params"], selectors,
+                    verbose=True)
+            elif model_cfg.get("inherit_head"):
                 variables = dict(variables)
                 variables["params"] = inherit_head_params(
                     variables["params"], tvars["params"], verbose=True)
+            if model_cfg.get("self_ckpt"):
+                # warm start from a previous distill run (reference
+                # bevdet_distill.py:163-173 load_checkpoint(self))
+                logger.info("loading self checkpoint "
+                            f"{model_cfg['self_ckpt']}")
+                variables = _load_any_checkpoint(
+                    model_cfg["self_ckpt"], variables)
+        elif is_bevformer:
+            variables = jax.jit(model.init)(
+                rng, batch0.imgs, batch0.can_bus, batch0.lidar2img,
+                batch0.prev_exists)
         else:
             variables = jax.jit(model.init)(rng, batch0.points,
                                             batch0.point_mask)
@@ -172,7 +226,21 @@ def train_model(cfg, work_dir: str, resume_from: Optional[str] = None,
     # cfg.fp16 (the reference's Fp16OptimizerHook trigger,
     # apis/mmdet_train.py:133-136) -> bf16 mixed precision on TPU
     mixed = bool(cfg.get("fp16", None))
-    if is_distill:
+    if is_bevformer:
+        from ..training import (make_bevformer_distill_train_step,
+                                make_bevformer_train_step)
+        head_cfg = dict(model_cfg.get("pts_bbox_head") or {})
+        bev_h = head_cfg.get("bev_h", 200)
+        bev_w = head_cfg.get("bev_w", 200)
+        if is_distill:
+            raw_step = make_bevformer_distill_train_step(
+                model, teacher, tx, bev_h, bev_w,
+                mixed_precision=mixed)
+        else:
+            raw_step = make_bevformer_train_step(
+                model, tx, mixed_precision=mixed)
+        step_fn = jax.jit(raw_step, donate_argnums=(0,))
+    elif is_distill:
         step_fn = jax.jit(make_distill_train_step(
             model, teacher, tx, mixed_precision=mixed),
             donate_argnums=(0,))
@@ -231,7 +299,13 @@ def train_model(cfg, work_dir: str, resume_from: Optional[str] = None,
                 try:
                     _run_interval_eval(cfg, model, state, family, logger)
                 except Exception as e:
-                    logger.warning(f"eval failed: {e}")
+                    # surface eval breakage by default — a silently
+                    # broken eval path can waste a full training run
+                    if dict(cfg.get("evaluation", {})).get(
+                            "allow_failure", False):
+                        logger.warning(f"eval failed (allowed): {e}")
+                    else:
+                        raise
         ckpt.wait()
     writer.close()
     return state

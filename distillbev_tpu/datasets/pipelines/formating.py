@@ -87,6 +87,22 @@ class Collect3D:
         return out
 
 
+@PIPELINES.register_module()
+class CustomCollect3D(Collect3D):
+    """BEVFormer collect (reference: datasets/pipelines -> external
+    BEVFormer plugin CustomCollect3D): same static packing as Collect3D
+    with the queue/test metadata the sequential eval state machine
+    needs."""
+
+    def __init__(self, keys: Sequence[str],
+                 meta_keys: Sequence[str] = (
+                     "sample_idx", "timestamp", "can_bus", "lidar2img",
+                     "scene_token", "box_type_3d"),
+                 max_points: int = 300_000, max_objs: int = 500):
+        super().__init__(keys, meta_keys=meta_keys,
+                         max_points=max_points, max_objs=max_objs)
+
+
 def collate_samples(samples: Sequence[dict]) -> dict:
     """Stack a list of Collect3D outputs into a batch (numpy)."""
     batch = {}

@@ -259,7 +259,7 @@ class BEVFormerHead(_DETR3DHeadBase):
     @nn.compact
     def __call__(self, mlvl_feats, prev_bev=None, can_bus=None,
                  lidar2img=None, img_shape=None, only_bev: bool = False,
-                 train: bool = False):
+                 prev_valid=None, train: bool = False):
         bev_queries = self.param(
             "bev_embedding", nn.initializers.normal(1.0),
             (self.bev_h * self.bev_w, self.embed_dims))
@@ -284,14 +284,15 @@ class BEVFormerHead(_DETR3DHeadBase):
                 mlvl_feats, bev_queries, query_embed, self.bev_h,
                 self.bev_w, grid_length=grid_length, bev_pos=bev_pos,
                 prev_bev=prev_bev, can_bus=can_bus, lidar2img=lidar2img,
-                img_shape=img_shape, only_bev=True, train=train)
+                img_shape=img_shape, only_bev=True,
+                prev_valid=prev_valid, train=train)
 
         bev_embed, hs, init_ref, inter_refs = transformer(
             mlvl_feats, bev_queries, query_embed, self.bev_h, self.bev_w,
             grid_length=grid_length, bev_pos=bev_pos, prev_bev=prev_bev,
             can_bus=can_bus, lidar2img=lidar2img, img_shape=img_shape,
             reg_branch=reg_branch if self.with_box_refine else None,
-            train=train)
+            prev_valid=prev_valid, train=train)
         all_cls, all_box = self._decode_outputs(
             hs, init_ref, inter_refs, cls_branch, reg_branch)
         return dict(bev_embed=bev_embed, all_cls_scores=all_cls,

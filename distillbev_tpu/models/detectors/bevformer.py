@@ -69,27 +69,31 @@ class BEVFormer(nn.Module):
         return [f.reshape((b, n) + f.shape[1:]) for f in feats]
 
     def _frame_bev(self, imgs, can_bus, lidar2img, prev_bev,
-                   train: bool = False, rng=None):
+                   prev_valid=None, train: bool = False, rng=None):
         feats = self.extract_img_feat(imgs, train=train, rng=rng)
         img_shape = (imgs.shape[2], imgs.shape[3])
         return self.bbox_head(feats, prev_bev=prev_bev, can_bus=can_bus,
                               lidar2img=lidar2img, img_shape=img_shape,
-                              only_bev=True, train=train)
+                              only_bev=True, prev_valid=prev_valid,
+                              train=train)
 
     def obtain_history_bev(self, imgs_queue, can_bus_queue,
                            lidar2img_queue, prev_exists):
         """Roll the queue's first T-1 frames into a history BEV under
-        stop_gradient (reference bevformer.py:156-174)."""
+        stop_gradient (reference bevformer.py:156-174).  Per-sample
+        ``prev_exists`` gating reproduces the reference's
+        ``prev_bev=None`` semantics at scene boundaries (TSA falls back
+        to the current query) instead of attending to a zero BEV."""
         b, t = imgs_queue.shape[:2]
         prev_bev = None
         for ti in range(t):
             pb = None if prev_bev is None else jax.lax.stop_gradient(
                 prev_bev)
-            if pb is not None:
-                pb = pb * prev_exists[:, ti][:, None, None]
             prev_bev = self._frame_bev(
                 imgs_queue[:, ti], can_bus_queue[:, ti],
-                lidar2img_queue[:, ti], pb, train=False)
+                lidar2img_queue[:, ti], pb,
+                prev_valid=None if pb is None else prev_exists[:, ti],
+                train=False)
         return jax.lax.stop_gradient(prev_bev)
 
     def __call__(self, imgs, can_bus, lidar2img, prev_exists,
@@ -97,18 +101,34 @@ class BEVFormer(nn.Module):
         """imgs [B, T, N, H, W, 3]; last frame is the current one."""
         t = imgs.shape[1]
         prev_bev = None
+        prev_valid = None
         if t > 1:
             prev_bev = self.obtain_history_bev(
                 imgs[:, :-1], can_bus[:, :-1], lidar2img[:, :-1],
                 prev_exists[:, :-1])
-            prev_bev = prev_bev * prev_exists[:, -1][:, None, None]
+            prev_valid = prev_exists[:, -1]
         feats = self.extract_img_feat(imgs[:, -1], train=train)
         img_shape = (imgs.shape[3], imgs.shape[4])
         outs = self.bbox_head(
             feats, prev_bev=prev_bev, can_bus=can_bus[:, -1],
             lidar2img=lidar2img[:, -1], img_shape=img_shape,
-            train=train)
+            prev_valid=prev_valid, train=train)
         return outs, BEVFormerBundle(outs["bev_embed"], outs)
+
+    def forward_test_frame(self, imgs, can_bus, lidar2img, prev_bev,
+                           prev_valid):
+        """Test-time single-frame forward for the scene-token state
+        machine (reference bevformer.py:233-266 keeps
+        ``prev_frame_info`` across calls; apis/test.py owns that state
+        here).  ``prev_bev`` is always an array [B, H*W, C] (zeros on
+        the first call) and ``prev_valid`` [B] gates it, so one trace
+        serves both scene starts and continuations."""
+        feats = self.extract_img_feat(imgs, train=False)
+        img_shape = (imgs.shape[2], imgs.shape[3])
+        return self.bbox_head(
+            feats, prev_bev=prev_bev, can_bus=can_bus,
+            lidar2img=lidar2img, img_shape=img_shape,
+            prev_valid=prev_valid, train=False)
 
     def loss(self, outs, gt_boxes, gt_labels, gt_mask):
         return self.bbox_head.loss(outs, gt_boxes, gt_labels, gt_mask)
@@ -147,16 +167,31 @@ class BEVFormerDistill(BEVFormer, _DistillBase):
     def distill_losses_bevformer(self, student_outs, teacher_outs,
                                  teacher_bev_feat, gt_boxes, gt_labels,
                                  gt_mask, epoch, bev_h: int, bev_w: int,
-                                 train: bool = False):
+                                 train: bool = False, teacher_dec=None):
         """FGD on the (student bev_embed, teacher bev_feat) pair +
-        optional hs/query distillation."""
+        optional hs/query distillation.  ``teacher_dec`` (DecodedBoxes
+        from the teacher's head) feeds the bbox-based FP-as-FG miner
+        (reference bevformer_distill.py add_fp_as_fg_bbox:573-647)."""
+        from ..distill import masks as M
         p = dict(self.distill_params)
         s_feat = self.bev_embed_2d(student_outs["bev_embed"], bev_h,
                                    bev_w)
         t_feat = jax.lax.stop_gradient(teacher_bev_feat)
+        fp_override = None
+        fp_mode = p.get("fp_as_foreground", "none")
+        fp_mode = fp_mode[0] if isinstance(fp_mode, (list, tuple)) \
+            else fp_mode
+        if fp_mode != "none" and teacher_dec is not None:
+            tc = dict((self.train_cfg or {}).get("pts"))
+            fp_override = M.fp_bbox_masks(
+                jax.lax.stop_gradient(teacher_dec.bboxes),
+                jax.lax.stop_gradient(teacher_dec.scores),
+                teacher_dec.valid, gt_boxes, gt_mask, bev_h, bev_w,
+                tc["voxel_size"], tc["point_cloud_range"],
+                tc["grid_size"], p["output_threshold"])
         losses = self.distiller.distill_loss(
             0, t_feat, s_feat, gt_boxes, gt_mask, None, None, None,
-            None, epoch, train=train)
+            None, epoch, train=train, fp_override=fp_override)
         if p.get("hs_weight", 0):
             hs_s = student_outs["hs"][-1]
             hs_t = jax.lax.stop_gradient(teacher_outs["hs"][-1])

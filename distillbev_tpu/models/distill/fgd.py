@@ -69,8 +69,41 @@ class Distiller(nn.Module):
         d = dict(self.distill_params)
         return d.get(key, default)
 
+    # Every distill_params key any consumer reads.  An unknown key in a
+    # config is a hard error: silently ignoring a knob the user set
+    # (e.g. a typo'd transpose_mask) is the worst failure mode —
+    # SURVEY §7 lists these as the details that "silently decide mAP".
+    KNOWN_KEYS = frozenset({
+        "adaptation_type", "affinity_attention_topk",
+        "affinity_criterion", "affinity_max_pixels", "affinity_mode",
+        "affinity_split", "affinity_weights", "avg_fg_scale_mask",
+        "background_mask", "bg_feat_loss_weights", "channel_criterion",
+        "channel_loss_weights", "channel_mask", "channel_t",
+        "context_length", "context_weight", "criterion",
+        "custom_radius_func", "custom_radius_scale", "feat_criterion",
+        "feat_loss_weights", "fg_feat_loss_weights", "fn_weights",
+        "foreground_mask", "fp_as_foreground", "fp_epoch",
+        "fp_scale_mode", "fp_weight", "fp_weights", "fpfn_weight",
+        "fpfn_weights", "gauss_fg_weight", "groundtruth_threshold",
+        "heatmap", "hs_weight", "mode", "multi_scale_epoch",
+        "non_empty_weight", "nonlocal_weights", "output_threshold",
+        "p", "query_weight", "scale_mask", "spatial_attentions",
+        "spatial_criterion", "spatial_loss_weights", "spatial_mask",
+        "spatial_student_ratio", "spatial_t",
+        "student_adaptation_params", "student_channels",
+        "student_feat_pos", "teacher_adaptation_params",
+        "teacher_adaptation_type", "teacher_channels",
+        "teacher_feat_pos", "tp_weight", "tp_weights",
+        "transpose_mask", "two_stage_epoch",
+    })
+
     def setup(self):
         p = dict(self.distill_params)
+        unknown = sorted(set(p) - self.KNOWN_KEYS)
+        if unknown:
+            raise ValueError(
+                f"unknown distill_params keys {unknown} — these would "
+                "be silently ignored; remove them or add support")
         sc = list(p.get("student_channels", []))
         tc = list(p.get("teacher_channels", []))
         n = len(sc)
@@ -159,15 +192,20 @@ class Distiller(nn.Module):
                      teacher_preds: Optional[List[Dict]],
                      student_preds: Optional[List[Dict]],
                      epoch: jnp.ndarray,
-                     train: bool = False) -> Dict[str, jnp.ndarray]:
+                     train: bool = False,
+                     fp_override=None) -> Dict[str, jnp.ndarray]:
         """Dispatch one (student_pos, teacher_pos) pairing's losses
-        (reference distill_loss:1365-1409)."""
+        (reference distill_loss:1365-1409).  ``fp_override`` is a
+        precomputed (fp_mask, fp_scale, fp_count) triple — the
+        transformer path mines FPs from decoded teacher boxes instead
+        of heatmaps (reference add_fp_as_fg_bbox)."""
         t = self.distill_type
         if t == "fgd":
             return self.fgd_loss(index, teacher_feat, student_feat,
                                  gt_boxes, gt_mask, canvas_feat,
                                  gt_heatmaps, teacher_preds, student_preds,
-                                 epoch, train=train)
+                                 epoch, train=train,
+                                 fp_override=fp_override)
         if t == "all":
             return self.all_loss(index, teacher_feat, student_feat, train)
         if t == "foreground_background":
@@ -196,7 +234,7 @@ class Distiller(nn.Module):
     # -- fgd (the headline recipe) -------------------------------------
     def fgd_loss(self, index, teacher_feat, student_feat, gt_boxes,
                  gt_mask, canvas_feat, gt_heatmaps, teacher_preds,
-                 student_preds, epoch, train=False):
+                 student_preds, epoch, train=False, fp_override=None):
         p = dict(self.distill_params)
         s_t = p["spatial_t"]
         s_ratio = p["spatial_student_ratio"]
@@ -227,7 +265,8 @@ class Distiller(nn.Module):
             avg_fg_scale_mask=p.get("avg_fg_scale_mask", False),
             context_length=p.get("context_length", 0),
             context_weight=p.get("context_weight", 0),
-            center_offset=self.center_offset)
+            center_offset=self.center_offset,
+            transpose=p.get("transpose_mask", False))
         fg_mode = p.get("foreground_mask", "gt")
         fg_scale2 = None
         if fg_mode != "gt":
@@ -292,7 +331,19 @@ class Distiller(nn.Module):
         fp_mask = jnp.zeros_like(fg_mask)
         fp_scale = jnp.zeros_like(fg_mask)
         fp_count = jnp.zeros((b,), jnp.float32)
-        if fp_mode != "none":
+        if fp_mode != "none" and fp_override is not None:
+            # bbox-decoded FPs (transformer path,
+            # reference bevformer_distill.py:736-743)
+            fp_mask, fp_scale, fp_count = fp_override
+            fp_mask = jnp.where(fg_mask == 0, fp_mask, 0.0) * fp_gate
+            bg_mask = jnp.where(fp_mask != 0, 0.0, bg_mask)
+            bg_n = h * w - fg_mask.sum(axis=(1, 2))
+            denom = bg_n - fp_count
+            bg_scale_fp = jnp.where(
+                denom > 0, 1.0 / jnp.maximum(denom, 1.0), 0.0)
+            bg_scale = jnp.where(
+                fp_gate > 0, bg_scale_fp[:, None, None], bg_scale)
+        elif fp_mode != "none":
             gt_hm_max = jnp.concatenate(gt_heatmaps, axis=1).max(axis=1)
             t_hm_max = M.heatmap_channel_max(teacher_preds, clip=True)
             s_hm_max = M.heatmap_channel_max(student_preds, clip=True)

@@ -53,12 +53,20 @@ def foreground_scale_mask(gt_boxes: jnp.ndarray,
                           avg_fg_scale_mask: bool = False,
                           context_length: float = 0.0,
                           context_weight: float = 0.0,
-                          center_offset: float = 0.0
+                          center_offset: float = 0.0,
+                          transpose: bool = False,
                           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """FG / fg-scale / bg-scale masks.
 
     gt_boxes [B, M, 7+] (x, y, z, dx, dy, dz, yaw, ...); gt_mask [B, M].
     Returns fg_mask, fg_scale, bg_scale each [B, H, W] fp32.
+
+    ``transpose`` is the reference's ``transpose_mask`` flag
+    (bevdet_distill.py:828-836): the reference flattens its pixel list
+    x-major, and transpose_mask=False re-transposes into [H, W] — which
+    is exactly this function's native row-major orientation.
+    transpose_mask=True keeps the x-major flat order, i.e. (for the
+    square grids every config uses) the transposed orientation.
     """
     assert grid_size[0] % w == 0
     osf = grid_size[0] // w
@@ -106,7 +114,52 @@ def foreground_scale_mask(gt_boxes: jnp.ndarray,
         return (fg_f.reshape(h, w), fg_scale.reshape(h, w),
                 bg_scale.reshape(h, w))
 
-    return jax.vmap(per_sample)(gt_boxes, gt_mask)
+    fg, fgs, bgs = jax.vmap(per_sample)(gt_boxes, gt_mask)
+    if transpose:
+        assert h == w, "transpose_mask=True needs a square BEV grid"
+        fg, fgs, bgs = (m.swapaxes(1, 2) for m in (fg, fgs, bgs))
+    return fg, fgs, bgs
+
+
+def fp_bbox_masks(teacher_boxes: jnp.ndarray,
+                  teacher_scores: jnp.ndarray,
+                  teacher_valid: jnp.ndarray,
+                  gt_boxes: jnp.ndarray, gt_mask: jnp.ndarray,
+                  h: int, w: int, voxel_size, pc_range, grid_size,
+                  output_threshold: float,
+                  center_offset: float = 0.5
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Bbox-decoded FP-as-FG for the transformer path (reference
+    bevformer_distill.py add_fp_as_fg_bbox:573-647): pixels inside a
+    confident teacher box (score > threshold) but outside every GT box.
+
+    teacher_boxes [B, K, 7+] decoded boxes; teacher_scores [B, K];
+    teacher_valid [B, K].  Returns fp_mask, fp_scale (average mode),
+    fp_count — on-device, no host decode round-trip.
+    """
+    assert grid_size[0] % w == 0
+    osf = grid_size[0] // w
+    coords = bev_pixel_coords(h, w, voxel_size, pc_range, osf,
+                              center_offset)
+
+    def per_sample(tb, ts, tv, gb, gm):
+        sel = tv & (ts > output_threshold)
+        bev_t = jnp.concatenate(
+            [tb[:, 0:2], tb[:, 3:5], tb[:, 6:7]], axis=-1)
+        bev_t = jnp.where(sel[:, None], bev_t, 0.0)
+        in_t = points_in_rbbox_bev(coords, bev_t) & sel[None, :]
+        bev_g = jnp.concatenate(
+            [gb[:, 0:2], gb[:, 3:5], gb[:, 6:7]], axis=-1)
+        bev_g = jnp.where(gm[:, None], bev_g, 0.0)
+        in_g = points_in_rbbox_bev(coords, bev_g) & gm[None, :]
+        fp = in_t.any(-1) & ~in_g.any(-1)
+        n = fp.sum()
+        fp_scale = jnp.where(fp, 1.0 / jnp.maximum(n, 1), 0.0)
+        return (fp.astype(jnp.float32).reshape(h, w),
+                fp_scale.reshape(h, w), n.astype(jnp.float32))
+
+    return jax.vmap(per_sample)(teacher_boxes, teacher_scores,
+                                teacher_valid, gt_boxes, gt_mask)
 
 
 def spatial_attention(feat: jnp.ndarray, t: float) -> jnp.ndarray:

@@ -91,12 +91,20 @@ class BEVFormerLayer(nn.Module):
     @nn.compact
     def __call__(self, query, value, prev_bev, ref_2d, ref_cam,
                  bev_mask, bev_pos, spatial_shapes, bev_hw, shift=None,
-                 train: bool = False):
+                 prev_valid=None, train: bool = False):
         bsz, q, c = query.shape
         tsa_value = None
         tsa_ref = ref_2d
         if prev_bev is not None:
-            tsa_value = jnp.stack([prev_bev, query], axis=1).reshape(
+            pb = prev_bev
+            if prev_valid is not None:
+                # per-sample "no history" -> reference prev_bev=None
+                # semantics (TSA attends to the current query in both
+                # queue slots) without a separate trace; the scene-reset
+                # state machine zeroes can_bus deltas, so the prev-slot
+                # ref shift/rotation are no-ops in that case too
+                pb = jnp.where(prev_valid[:, None, None] > 0, pb, query)
+            tsa_value = jnp.stack([pb, query], axis=1).reshape(
                 bsz * 2, q, c)
             if shift is not None:
                 # prev-slot refs shifted by ego motion (reference
@@ -149,7 +157,7 @@ class BEVFormerEncoder(nn.Module):
     def __call__(self, bev_query, value, bev_h: int, bev_w: int,
                  bev_pos=None, prev_bev=None, lidar2img=None,
                  img_shape=None, spatial_shapes=None, shift=None,
-                 train: bool = False):
+                 prev_valid=None, train: bool = False):
         """bev_query [B, H*W, C]; value [B, N_cam, sum(HW), C];
         lidar2img [B, N_cam, 4, 4]."""
         pcr = list(self.pc_range)
@@ -174,17 +182,18 @@ class BEVFormerEncoder(nn.Module):
                 max_queries_per_cam=self.max_queries_per_cam,
                 name=f"layer_{i}")
             if self.with_cp and train:
-                def body(mdl, q, v, pb, r2, rc, bm, bp, sh):
+                def body(mdl, q, v, pb, r2, rc, bm, bp, sh, pv):
                     return mdl(q, v, pb, r2, rc, bm, bp,
                                spatial_shapes, (bev_h, bev_w),
-                               shift=sh, train=train)
+                               shift=sh, prev_valid=pv, train=train)
                 out = nn.remat(body)(layer, out, value, prev_bev,
                                      ref_2d, ref_cam, bev_mask,
-                                     bev_pos, shift)
+                                     bev_pos, shift, prev_valid)
             else:
                 out = layer(out, value, prev_bev, ref_2d, ref_cam,
                             bev_mask, bev_pos, spatial_shapes,
-                            (bev_h, bev_w), shift=shift, train=train)
+                            (bev_h, bev_w), shift=shift,
+                            prev_valid=prev_valid, train=train)
             if self.return_intermediate:
                 intermediate.append(out)
         if self.return_intermediate:

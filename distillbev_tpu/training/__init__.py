@@ -4,4 +4,5 @@ from .train_step import (TrainState, PointsBatch, DistillBatch,
                          make_distill_train_step,
                          make_camera_distill_train_step,
                          make_bevformer_distill_train_step,
+                         make_bevformer_train_step,
                          init_train_state, gravity_centered)

@@ -71,6 +71,45 @@ def inherit_head_params(student_params: Dict, teacher_params: Dict,
     return unflatten_tree(out)
 
 
+def inherit_params_by_selectors(student_params: Dict,
+                                teacher_params: Dict,
+                                selectors,
+                                verbose: bool = False) -> Dict:
+    """Copy teacher tensors into the student wherever a path segment
+    matches a selector regex and the suffix + shape line up.
+
+    Drives the BEVFormer-path inheritance flags (reference
+    bevformer_distill.py inherit:266-285 — ``inherit_head`` copies
+    cls/reg branches, ``inherit_decoder`` the DETR decoder subtree,
+    ``inherit_query`` the object query embedding; all strict=False).
+    """
+    import re
+
+    import jax.numpy as jnp
+    s_flat = flatten_tree(student_params)
+    t_flat = flatten_tree(teacher_params)
+    out = dict(s_flat)
+    copied = 0
+    pats = [re.compile(s) for s in selectors]
+    for t_path, t_val in t_flat.items():
+        anchor = None
+        for i, seg in enumerate(t_path):
+            if any(p.fullmatch(str(seg)) for p in pats):
+                anchor = i
+                break
+        if anchor is None:
+            continue
+        suffix = t_path[anchor:]
+        for p in s_flat:
+            if p[-len(suffix):] == suffix and \
+                    np.shape(s_flat[p]) == np.shape(t_val):
+                out[p] = jnp.asarray(t_val)
+                copied += 1
+    if verbose:
+        print(f"inherit[{selectors}]: copied {copied} tensors")
+    return unflatten_tree(out)
+
+
 # -- torch state_dict conversion -------------------------------------------
 
 

@@ -238,6 +238,15 @@ def make_bevformer_distill_train_step(student, teacher, tx,
             train=False)
         t_outs = jax.lax.stop_gradient(_full(t_outs))
         t_bundle = jax.lax.stop_gradient(_full(t_bundle))
+        t_dec = None
+        fp_mode = dict(student.distill_params or {}).get(
+            "fp_as_foreground", "none")
+        if (fp_mode[0] if isinstance(fp_mode, (list, tuple))
+                else fp_mode) != "none":
+            # decoded teacher boxes feed bbox-based FP mining
+            # (reference bevformer_distill.py:736-743)
+            t_dec = jax.lax.stop_gradient(teacher.apply(
+                teacher_variables, t_outs, method=teacher.get_bboxes))
 
         dropout_rng = jax.random.fold_in(jax.random.PRNGKey(0),
                                          state.step)
@@ -261,8 +270,58 @@ def make_bevformer_distill_train_step(student, teacher, tx,
             distill = student.apply(
                 variables, outs, t_outs, t_bundle.bev_feat, gt,
                 batch.gt_labels, batch.gt_mask, epoch, bev_h, bev_w,
-                True, method=student.distill_losses_bevformer)
+                True, t_dec,
+                method=student.distill_losses_bevformer)
             losses.update(distill)
+            total = sum(jax.tree_util.tree_leaves(losses))
+            return total, (losses, new_state["batch_stats"])
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, new_stats, opt_state,
+                          state.step + 1), metrics
+
+    return train_step
+
+
+def make_bevformer_train_step(model, tx,
+                              mixed_precision: bool = False
+                              ) -> Callable:
+    """Plain (non-distill) BEVFormer train step — detection loss only
+    (reference bevformer.py forward_train; the reference trains the
+    BEVFormer baseline through the same custom runner path,
+    tools/train.py:234-242)."""
+
+    def train_step(state: TrainState, teacher_variables,
+                   batch: BEVFormerBatch, epoch: jnp.ndarray):
+        del teacher_variables, epoch      # uniform step signature
+        gt = gravity_centered(batch.gt_boxes)
+        if mixed_precision:
+            batch = batch._replace(
+                imgs=batch.imgs.astype(jnp.bfloat16))
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(0),
+                                         state.step)
+
+        def loss_fn(params):
+            variables = {"params": _half(params) if mixed_precision
+                         else params,
+                         "batch_stats": state.batch_stats}
+            (outs, _bundle), new_state = model.apply(
+                variables, batch.imgs, batch.can_bus, batch.lidar2img,
+                batch.prev_exists, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng})
+            if mixed_precision:
+                outs = _full(outs)
+            losses = dict(model.apply(
+                variables, outs, gt, batch.gt_labels, batch.gt_mask,
+                method=model.loss))
             total = sum(jax.tree_util.tree_leaves(losses))
             return total, (losses, new_state["batch_stats"])
 

@@ -298,3 +298,88 @@ class TestCameraTeacherDistill:
         state, metrics = step(state, tvars, batch, jnp.float32(1.0))
         assert np.isfinite(float(metrics["total_loss"]))
         assert any(k.startswith("kd_") for k in metrics)
+
+
+class TestParityTail:
+    """Round-2 parity tail: transpose_mask, bbox FP-as-FG,
+    selector-based inheritance, unknown-key rejection."""
+
+    def test_transpose_mask(self):
+        gt = jnp.asarray([[[2.5, 4.5, 0.0, 2.0, 1.0, 1.5, 0.0, 0, 0]]])
+        mask = jnp.ones((1, 1), bool)
+        args = (gt, mask, 8, 8, (1.0, 1.0, 4.0),
+                (0.0, 0.0, -5, 8.0, 8.0, 3), (8, 8, 1))
+        fg, fgs, bgs = M.foreground_scale_mask(*args)
+        fg_t, fgs_t, bgs_t = M.foreground_scale_mask(
+            *args, transpose=True)
+        assert np.allclose(np.asarray(fg_t)[0],
+                           np.asarray(fg)[0].T)
+        assert np.allclose(np.asarray(fgs_t)[0],
+                           np.asarray(fgs)[0].T)
+
+    def test_fp_bbox_masks(self):
+        """Confident teacher box outside GT -> FP pixels; inside GT or
+        low-score -> none (reference add_fp_as_fg_bbox:573-647)."""
+        vs = (1.0, 1.0, 4.0)
+        pcr = (0.0, 0.0, -5, 8.0, 8.0, 3)
+        gt = jnp.asarray([[[2.0, 2.0, 0.0, 2.0, 2.0, 1.0, 0.0, 0, 0]]])
+        gm = jnp.ones((1, 1), bool)
+        tb = jnp.asarray([[
+            [6.0, 6.0, 0.0, 2.0, 2.0, 1.0, 0.0, 0, 0],  # FP (conf)
+            [2.0, 2.0, 0.0, 2.0, 2.0, 1.0, 0.0, 0, 0],  # inside GT
+            [6.0, 2.0, 0.0, 2.0, 2.0, 1.0, 0.0, 0, 0],  # low score
+        ]])
+        ts = jnp.asarray([[0.9, 0.9, 0.05]])
+        tv = jnp.ones((1, 3), bool)
+        fp, fps, n = M.fp_bbox_masks(tb, ts, tv, gt, gm, 8, 8, vs, pcr,
+                                     (8, 8, 1), output_threshold=0.1,
+                                     center_offset=0.5)
+        fp = np.asarray(fp)[0]
+        on = set(map(tuple, np.argwhere(fp > 0)))
+        # box at (6,6) size 2: covers cell centers x,y in {5.5, 6.5}
+        assert on == {(5, 5), (5, 6), (6, 5), (6, 6)}, on
+        assert float(n[0]) == 4
+        assert abs(float(np.asarray(fps)[0, 5, 5]) - 0.25) < 1e-6
+        # GT-covered cells are never FP
+        assert fp[1, 1] == 0 and fp[2, 2] == 0
+        # low-score box contributed nothing
+        assert fp[1, 5] == 0 and fp[2, 6] == 0
+
+    def test_inherit_selectors(self):
+        from distillbev_tpu.training.param_utils import \
+            inherit_params_by_selectors
+        t = {"head": {"decoder": {"layer_0": {"kernel":
+                                              np.ones((3, 3))}},
+                      "query_embedding": np.full((4, 8), 2.0),
+                      "cls_0_out": {"kernel": np.full((3, 2), 3.0)}}}
+        s = {"bbox_head": {"transformer": {"decoder": {"layer_0": {
+            "kernel": np.zeros((3, 3))}}},
+            "query_embedding": np.zeros((4, 8)),
+            "cls_0_out": {"kernel": np.zeros((3, 2))},
+            "other": np.zeros(5)}}
+        out = inherit_params_by_selectors(
+            s, t, [r"decoder", r"query_embedding", r"cls_\d+_.*"])
+        assert np.all(np.asarray(
+            out["bbox_head"]["transformer"]["decoder"]["layer_0"]
+            ["kernel"]) == 1)
+        assert np.all(np.asarray(
+            out["bbox_head"]["query_embedding"]) == 2)
+        assert np.all(np.asarray(
+            out["bbox_head"]["cls_0_out"]["kernel"]) == 3)
+        assert np.all(np.asarray(out["bbox_head"]["other"]) == 0)
+
+    def test_unknown_distill_key_rejected(self):
+        from distillbev_tpu.models.distill.fgd import Distiller
+        d = Distiller(
+            distill_type="fgd",
+            distill_params=dict(
+                student_channels=[8], teacher_channels=[8],
+                adaptation_type="1x1conv",
+                teacher_adaptation_type="identity",
+                transposed_mask=True),   # typo'd key
+            train_cfg_pts=dict(grid_size=[8, 8, 1],
+                               voxel_size=[1, 1, 8],
+                               point_cloud_range=[0, 0, -5, 8, 8, 3]))
+        with pytest.raises(ValueError, match="transposed_mask"):
+            d.init(jax.random.PRNGKey(0),
+                   [jnp.zeros((1, 8, 8, 8))], [jnp.zeros((1, 8, 8, 8))])

@@ -26,6 +26,40 @@ def parse_args():
     return parser.parse_args()
 
 
+def load_eval_variables(path: str):
+    """Checkpoint -> inference ``variables`` (params + batch_stats).
+
+    Accepts the training CheckpointManager directory written by
+    tools/train.py (work_dir/ckpt, numbered steps holding a TrainState),
+    a bare orbax StandardSave directory, or a torch .pth file through
+    the model converter (reference tools/test.py loads mmcv .pth
+    checkpoints:105-260)."""
+    path = osp.abspath(path)
+    if not osp.isdir(path):
+        raise SystemExit(
+            f"{path} is not an orbax checkpoint directory; convert "
+            "torch .pth checkpoints first with "
+            "tools/model_converters/convert_torch_ckpt.py")
+    import orbax.checkpoint as ocp
+    from distillbev_tpu.training.checkpoints import CheckpointManager
+    mgr = CheckpointManager(path)
+    step = mgr.latest_step()
+    if step is not None:
+        restored = mgr._mgr.restore(
+            step, args=ocp.args.Composite(
+                state=ocp.args.StandardRestore()))
+        state = restored["state"]
+        get = state.get if isinstance(state, dict) else \
+            lambda k, d=None: getattr(state, k, d)
+        return {"params": get("params"),
+                "batch_stats": get("batch_stats") or {}}
+    ckptr = ocp.StandardCheckpointer()
+    variables = ckptr.restore(path)
+    if "params" not in variables:
+        variables = {"params": variables, "batch_stats": {}}
+    return variables
+
+
 def main():
     args = parse_args()
     if args.distributed:
@@ -48,17 +82,19 @@ def main():
         shuffle=False)
     model = build_detector(dict(cfg.model), cfg.get("train_cfg"),
                            cfg.get("test_cfg"))
-    family = "img" if any(k in cfg.model["type"] for k in
-                          ("BEVDet", "BEVDepth", "BEVFormer")) else \
-        "points"
+    mtype = cfg.model["type"]
+    if "BEVFormer" in mtype:
+        # sequential scene-state eval (reference bevformer.py:233-266)
+        family = "bevformer"
+    elif any(k in mtype for k in ("BEVDet", "BEVDepth")):
+        family = "img"
+    else:
+        family = "points"
 
     if args.checkpoint:
-        import orbax.checkpoint as ocp
-        ckptr = ocp.StandardCheckpointer()
-        variables = ckptr.restore(osp.abspath(args.checkpoint))
+        variables = load_eval_variables(args.checkpoint)
     else:
         logger.warning("no checkpoint given — evaluating random init")
-        first = dataset[0]
         raise SystemExit("checkpoint required")
 
     results = run_eval(model, variables, dataset, loader, family=family,
