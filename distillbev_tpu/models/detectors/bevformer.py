@@ -61,8 +61,11 @@ class BEVFormer(nn.Module):
         """imgs [B, N, H, W, 3] -> list of [B, N, h_l, w_l, C]."""
         b, n, h, w, c = imgs.shape
         x = imgs.reshape(b * n, h, w, c)
-        if self.use_grid_mask and train and rng is not None:
-            x = grid_mask(rng, x)
+        if self.use_grid_mask and train:
+            if rng is None and self.has_rng("dropout"):
+                rng = self.make_rng("dropout")
+            if rng is not None:
+                x = grid_mask(rng, x)
         feats = self.backbone(x, train=train)
         if self.neck is not None:
             feats = self.neck(feats, train=train)

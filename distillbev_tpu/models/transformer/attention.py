@@ -101,7 +101,21 @@ class MSDeformableAttention3D(nn.Module):
 
 @ATTENTION.register_module()
 class SpatialCrossAttention(nn.Module):
-    """Camera-aware cross attention from BEV queries to image features."""
+    """Camera-aware cross attention from BEV queries to image features.
+
+    K policy (the static top-K budget replacing the reference's dynamic
+    per-camera rebatching, spatial_cross_attention.py:137-166): a BEV
+    query hits camera ``i`` iff one of its pillar points projects inside
+    that camera's frustum, so the hit set is the wedge of the BEV plane
+    inside the camera's horizontal FOV — a fraction FOV/360 of all
+    queries (plus a boundary sliver from the pillar's z-extent).  Any
+    real camera has FOV < 180deg, so ``K = Q // 2`` covers every hit
+    query with margin for every nuScenes camera (strongest case
+    CAM_BACK, ~90deg FOV -> ~25% of queries; the verification test
+    ``test_model_bevformer.py::TestSCACoverage`` measures this against
+    full 6-camera geometry and asserts dense == budgeted outputs).
+    Override ``max_queries_per_cam`` to trade compute for margin.
+    """
     embed_dims: int = 256
     num_cams: int = 6
     dropout: float = 0.1

@@ -262,3 +262,202 @@ def test_encoder_with_cp_matches(rng):
     f1 = jax.tree_util.tree_leaves(g1)
     for a, b_ in zip(f0, f1):
         assert np.allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+class TestGridMask:
+    """Rotated-mask parity (reference grid_mask.py:107-111: integer
+    degree angle in [0, rotate); the shipped recipe rotate=1 never
+    rotates)."""
+
+    def _mask_of(self, imgs, out):
+        return (np.asarray(out)[0, :, :, 0] != 0)
+
+    def test_rotate1_is_identity_angle(self):
+        from distillbev_tpu.models.utils.grid_mask import grid_mask
+        imgs = jnp.ones((1, 32, 32, 3))
+        key = jax.random.PRNGKey(3)
+        a = grid_mask(key, imgs, prob=1.0, rotate=1)
+        # rotate=1 path must not consume a different number of random
+        # bits (trace-stable) and must equal the unrotated default
+        b = grid_mask(key, imgs, prob=1.0)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+        # some pixels dropped, some kept
+        m = self._mask_of(imgs, a)
+        assert 0 < m.sum() < m.size
+
+    def test_rotation_moves_the_grid(self):
+        from distillbev_tpu.models.utils.grid_mask import grid_mask
+        imgs = jnp.ones((1, 64, 64, 3))
+        # find a key whose angle draw is nonzero
+        for s in range(8):
+            key = jax.random.PRNGKey(s)
+            k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+            ang = int(jax.random.randint(k5, (), 0, 90))
+            if ang >= 30:
+                break
+        base = self._mask_of(imgs, grid_mask(key, imgs, prob=1.0,
+                                             rotate=1))
+        rot = self._mask_of(imgs, grid_mask(key, imgs, prob=1.0,
+                                            rotate=90))
+        assert not np.array_equal(base, rot)
+        # rotation preserves the dropped-area fraction approximately
+        # (same stripe geometry evaluated on rotated coordinates)
+        assert abs(base.mean() - rot.mean()) < 0.2
+
+    def test_rotated_bands_follow_coordinates(self):
+        """The rotated mask equals the unrotated band function evaluated
+        at inverse-rotated coordinates (the definition), checked
+        explicitly against a numpy reimplementation."""
+        from distillbev_tpu.models.utils.grid_mask import grid_mask
+        h = w = 48
+        imgs = jnp.ones((1, h, w, 1))
+        key = jax.random.PRNGKey(11)
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        d = int(jax.random.randint(k1, (), 2, max(min(h, w), 3)))
+        off_y = int(jax.random.randint(k2, (), 0, max(min(h, w), 3))) % d
+        off_x = int(jax.random.randint(k3, (), 0, max(min(h, w), 3))) % d
+        keep = int(np.clip(int(d * 0.5 + 0.5), 1, d - 1))
+        ang = int(jax.random.randint(k5, (), 0, 45)) * np.pi / 180.0
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+        yy, xx = np.meshgrid(np.arange(h, dtype=np.float64),
+                             np.arange(w, dtype=np.float64),
+                             indexing="ij")
+        ry, rx = yy - cy, xx - cx
+        yyr = np.cos(ang) * ry + np.sin(ang) * rx + cy
+        xxr = -np.sin(ang) * ry + np.cos(ang) * rx + cx
+        ys = (np.floor(yyr).astype(int) + off_y) % d
+        xs = (np.floor(xxr).astype(int) + off_x) % d
+        expect = (ys >= keep) | (xs >= keep)
+        got = self._mask_of(imgs, grid_mask(key, imgs, prob=1.0,
+                                            rotate=45))
+        # float32 vs float64 trig can flip pixels sitting exactly on a
+        # floor boundary — allow a tiny disagreement budget
+        assert (got != expect).mean() < 0.01
+
+
+def nuscenes_like_lidar2img(img_h=900, img_w=1600):
+    """Six cameras with nuScenes-like geometry: five ~65deg-FOV cams
+    (fx=1266) at yaws 0/±55/±110 deg and one ~90deg back cam (fx=809),
+    mounted ~1.5 m from the ego center at 1.6 m height."""
+    yaws = np.deg2rad([0.0, 55.0, -55.0, 110.0, -110.0, 180.0])
+    fxs = [1266.4, 1266.4, 1266.4, 1266.4, 1266.4, 809.2]
+    l2is = []
+    for yaw, fx in zip(yaws, fxs):
+        zc = np.array([np.cos(yaw), np.sin(yaw), 0.0])   # view dir
+        yc = np.array([0.0, 0.0, -1.0])                  # image down
+        xc = np.cross(yc, zc)                            # image right
+        r_c2l = np.stack([xc, yc, zc], axis=1)
+        t = 1.5 * zc + np.array([0.0, 0.0, 1.6])
+        l2c = np.eye(4)
+        l2c[:3, :3] = r_c2l.T
+        l2c[:3, 3] = -r_c2l.T @ t
+        k = np.eye(4)
+        k[0, 0], k[1, 1] = fx, fx
+        k[0, 2], k[1, 2] = img_w / 2.0, img_h / 2.0
+        l2is.append(k @ l2c)
+    return np.stack(l2is).astype(np.float32)
+
+
+class TestSCACoverage:
+    """The static top-K budget loses zero hit queries on realistic
+    6-camera geometry (VERDICT r1 #9; reference dynamic rebatching
+    spatial_cross_attention.py:137-166)."""
+
+    PCR = [-51.2, -51.2, -5.0, 51.2, 51.2, 3.0]
+
+    def _bev_mask(self, bev_h, bev_w):
+        from distillbev_tpu.models.transformer.encoder import (
+            get_reference_points_3d, point_sampling)
+        ref3d = jnp.asarray(
+            get_reference_points_3d(bev_h, bev_w, z=8.0,
+                                    num_points_in_pillar=4))
+        l2i = jnp.asarray(nuscenes_like_lidar2img())[None]
+        _, mask = point_sampling(ref3d, self.PCR, l2i, (900, 1600))
+        return np.asarray(mask)          # [N_cam, B, Q, P]
+
+    def test_default_budget_covers_every_hit_query(self):
+        bev_h = bev_w = 50               # same wedge fractions as 200
+        mask = self._bev_mask(bev_h, bev_w)
+        q = bev_h * bev_w
+        hit_q = (mask.sum(-1) > 0).sum(-1)[:, 0]      # per camera
+        frac = hit_q / q
+        # every camera must fit the default K = Q // 2 with real margin
+        assert frac.max() <= 0.35, frac
+        # sanity: the geometry is real — every camera sees something,
+        # and every BEV query is seen by at least one camera
+        assert frac.min() > 0.05, frac
+        seen = (mask.sum(-1) > 0).any(0)
+        assert seen.mean() > 0.99
+
+    def test_budgeted_equals_dense_sca(self, rng):
+        """SCA with the K=Q//2 budget reproduces the dense K=Q result
+        bit-for-bit up to scatter order — i.e. the top-K selection
+        drops no contributing query."""
+        from distillbev_tpu.models.transformer.attention import \
+            SpatialCrossAttention
+        bev_h = bev_w = 16
+        q = bev_h * bev_w
+        c, n_cam, d = 32, 6, 4
+        mask = self._bev_mask(bev_h, bev_w)               # [N,1,Q,P]
+        from distillbev_tpu.models.transformer.encoder import (
+            get_reference_points_3d, point_sampling)
+        ref3d = jnp.asarray(get_reference_points_3d(
+            bev_h, bev_w, z=8.0, num_points_in_pillar=d))
+        l2i = jnp.asarray(nuscenes_like_lidar2img())[None]
+        ref_cam, bev_mask = point_sampling(ref3d, self.PCR, l2i,
+                                           (900, 1600))
+        shapes = ((8, 8),)
+        query = jnp.asarray(rng.randn(1, q, c), jnp.float32)
+        value = jnp.asarray(rng.randn(1, n_cam, 64, c), jnp.float32)
+        da_cfg = dict(num_heads=4, num_levels=1, num_points=4)
+        key = jax.random.PRNGKey(0)
+        dense = SpatialCrossAttention(
+            embed_dims=c, num_cams=n_cam, deformable_attention=da_cfg,
+            max_queries_per_cam=q)
+        budget = SpatialCrossAttention(
+            embed_dims=c, num_cams=n_cam, deformable_attention=da_cfg,
+            max_queries_per_cam=q // 2)
+        vs = dense.init(key, query, value, ref_cam, bev_mask, shapes)
+        out_d = dense.apply(vs, query, value, ref_cam, bev_mask, shapes)
+        out_b = budget.apply(vs, query, value, ref_cam, bev_mask,
+                             shapes)
+        np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_grid_mask_active_in_train_path(rng):
+    """use_grid_mask=True must actually mask pixels during training
+    (regression: the train path passed no rng, silently disabling the
+    flagship recipe's GridMask)."""
+    from distillbev_tpu.models import build_detector
+    model_on = build_detector({**tiny_bevformer_cfg(),
+                               "use_grid_mask": True})
+    model_off = build_detector({**tiny_bevformer_cfg(),
+                                "use_grid_mask": False})
+    b, t, n, h, w = 1, 1, 2, 32, 32
+    imgs = jnp.asarray(rng.randn(b, t, n, h, w, 3), jnp.float32)
+    can_bus = jnp.zeros((b, t, 18))
+    l2i = jnp.tile(jnp.eye(4)[None, None, None], (b, t, n, 1, 1))
+    prev = jnp.zeros((b, t))
+    key = jax.random.PRNGKey(0)
+    vs = model_off.init({"params": key}, imgs, can_bus, l2i, prev)
+
+    def feats(m, seed):
+        out, _ = m.apply(
+            vs, imgs[:, 0], train=True,
+            rngs={"dropout": jax.random.PRNGKey(seed)},
+            mutable=["batch_stats"],
+            method=m.extract_img_feat)
+        return out
+
+    # grid_mask applies with prob 0.7 per draw — try several keys so
+    # the test can't be defeated by an unlucky no-apply draw
+    diff = 0.0
+    for seed in range(6):
+        f_on = feats(model_on, seed)
+        f_off = feats(model_off, seed)
+        diff = max(diff, max(float(jnp.abs(a - b).max())
+                             for a, b in zip(f_on, f_off)))
+        if diff > 0:
+            break
+    assert diff > 0, "grid_mask had no effect in the train path"
