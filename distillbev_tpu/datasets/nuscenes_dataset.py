@@ -372,8 +372,14 @@ class NuScenesDataset:
         submission, _ = self.format_results(results, jsonfile_prefix)
         from ..core.evaluation.nuscenes_metrics import evaluate_nuscenes
         gt = self._gt_for_eval()
+        # devkit filter_eval_boxes: per-class range filtering around
+        # the ego position of each sample
+        ego_xy = {info["token"]: list(
+            info["ego2global_translation"][:2])
+            for info in self.data_infos}
         return evaluate_nuscenes(submission["results"], gt,
-                                 class_names=list(self.CLASSES))
+                                 class_names=list(self.CLASSES),
+                                 ego_xy_by_token=ego_xy)
 
     def _gt_for_eval(self):
         """Ground truth in global frame keyed by token."""

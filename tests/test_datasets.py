@@ -242,9 +242,18 @@ class TestDataset:
                 full, np.ones(n, np.float32) * 0.9, labels,
                 np.ones(n, bool))
         metrics = ds.evaluate(results)
-        assert metrics["pts_bbox_NuScenes/mAP"] > 0.99
-        assert metrics["pts_bbox_NuScenes/NDS"] > 0.9
-        assert metrics["pts_bbox_NuScenes/mTRANS_ERR"] < 0.05
+        # devkit semantics: every configured class scores, so classes
+        # absent from the mini GT contribute AP=0 / TP-err=1.0 and
+        # perfect predictions give mAP = n_present / n_classes
+        present = {n_ for info in ds.data_infos
+                   for n_ in info["gt_names"] if n_ in ds.CLASSES}
+        for cls in present:
+            assert metrics[f"pts_bbox_NuScenes/{cls}_AP"] > 0.99, cls
+        assert metrics["pts_bbox_NuScenes/mAP"] == pytest.approx(
+            len(present) / len(ds.CLASSES), abs=0.01)
+        absent = len(ds.CLASSES) - len(present)
+        assert metrics["pts_bbox_NuScenes/mTRANS_ERR"] == pytest.approx(
+            absent / len(ds.CLASSES), abs=0.05)
 
 
 class _RandDrawDataset:
