@@ -70,12 +70,32 @@ def main():
         cfg.merge_from_dict(args.cfg_options)
 
     import jax
-    from distillbev_tpu.apis.test import run_eval, evaluate_results
+    from distillbev_tpu.apis.test import (
+        run_eval, evaluate_results, collect_results_hosts,
+        tta_flip_combos_from_pipeline)
     from distillbev_tpu.datasets import build_dataset, build_dataloader
     from distillbev_tpu.models import build_detector
     from distillbev_tpu.utils.logger import get_root_logger
 
     logger = get_root_logger()
+    test_cfg_data = dict(cfg.data["test"])
+    # double-flip TTA (reference centerpoint.py aug_test_pts): read the
+    # combos off MultiScaleFlipAug3D, then strip the flags so the
+    # loader emits single samples — the flips run on device instead
+    tta_flips = tta_flip_combos_from_pipeline(
+        test_cfg_data.get("pipeline"))
+    if tta_flips:
+        logger.info(f"TTA enabled: {len(tta_flips)} flip combos")
+        pipeline = []
+        for t in test_cfg_data["pipeline"]:
+            t = dict(t)
+            if t.get("type") == "MultiScaleFlipAug3D":
+                t["pcd_horizontal_flip"] = False
+                t["pcd_vertical_flip"] = False
+                t["flip"] = False
+            pipeline.append(t)
+        test_cfg_data["pipeline"] = pipeline
+        cfg.data["test"] = test_cfg_data
     dataset = build_dataset(cfg.data["test"])
     loader = build_dataloader(dataset, cfg.data.get(
         "samples_per_gpu", 1), cfg.data["workers_per_gpu"],
@@ -98,7 +118,16 @@ def main():
         raise SystemExit("checkpoint required")
 
     results = run_eval(model, variables, dataset, loader, family=family,
-                       logger=logger)
+                       logger=logger,
+                       tta_flips=tta_flips if family == "points"
+                       else None)
+    if jax.process_count() > 1:
+        # per-host shards -> host 0 (reference apis/test.py
+        # collect_results_cpu:204-244)
+        results = collect_results_hosts(
+            results, osp.join(cfg.get("work_dir", "."), ".eval_parts"))
+        if results is None:      # non-zero host
+            return
     if args.out:
         np_results = {k: [v2.tolist() for v2 in v]
                       for k, v in results.items()}
