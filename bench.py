@@ -50,6 +50,16 @@ def main():
         donate_argnums=(0,))
 
     epoch = jnp.float32(1.0)
+    # analytic FLOPs of the compiled step for MFU reporting
+    step_flops = None
+    try:
+        compiled = step_fn.lower(state, tvars, batch, epoch).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        step_flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
     # warmup (compile; sync via host value — block_until_ready on this
     # remote transport returns before execution completes)
     for _ in range(3):
@@ -69,13 +79,20 @@ def main():
 
     samples_per_sec = batch_size / dt
     baseline_samples_per_sec = 2.0   # per-GPU reference estimate (docstring)
-    print(json.dumps({
+    out = {
         "metric": "distill_train_samples_per_sec_per_chip",
         "value": round(samples_per_sec, 3),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / baseline_samples_per_sec,
                              3),
-    }))
+    }
+    if step_flops:
+        # v5e peak: 197 TFLOP/s bf16 (394 TOPS int8)
+        peak = 197e12 if mixed else 197e12
+        out["mfu"] = round(step_flops / dt / peak, 4)
+        out["step_tflops"] = round(step_flops / 1e12, 3)
+        out["step_ms"] = round(dt * 1e3, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

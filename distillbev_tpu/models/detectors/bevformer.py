@@ -86,17 +86,38 @@ class BEVFormer(nn.Module):
         stop_gradient (reference bevformer.py:156-174).  Per-sample
         ``prev_exists`` gating reproduces the reference's
         ``prev_bev=None`` semantics at scene boundaries (TSA falls back
-        to the current query) instead of attending to a zero BEV."""
+        to the current query) instead of attending to a zero BEV.
+
+        The frames share weights and run inference-mode, so the loop is
+        an ``nn.scan`` over the time axis: ONE backbone+encoder trace in
+        the HLO instead of T-1 unrolled copies — at full size (queue=4,
+        900x1600, 6 remat encoder layers) the unrolled graph was big
+        enough to kill the compile on this sandbox (docs/PERF.md)."""
         b, t = imgs_queue.shape[:2]
-        prev_bev = None
-        for ti in range(t):
-            pb = None if prev_bev is None else jax.lax.stop_gradient(
-                prev_bev)
-            prev_bev = self._frame_bev(
-                imgs_queue[:, ti], can_bus_queue[:, ti],
-                lidar2img_queue[:, ti], pb,
-                prev_valid=None if pb is None else prev_exists[:, ti],
-                train=False)
+        head_cfg = dict(self.pts_bbox_head)
+        bev_hw = int(head_cfg.get("bev_h", 200)) * int(
+            head_cfg.get("bev_w", 200))
+        embed = int(head_cfg.get("embed_dims", 256))
+        init_bev = jnp.zeros((b, bev_hw, embed), jnp.float32)
+        # frame 0 never has history inside the queue (union2one also
+        # zeroes its can-bus delta), later frames follow prev_exists
+        valid = prev_exists * jnp.asarray(
+            [0.0] + [1.0] * (t - 1), prev_exists.dtype)[None, :]
+
+        def body(mdl, prev_bev, xs):
+            imgs, can_bus, l2i, v = xs
+            bev = mdl._frame_bev(imgs, can_bus, l2i,
+                                 jax.lax.stop_gradient(prev_bev),
+                                 prev_valid=v, train=False)
+            return bev.astype(jnp.float32), None
+
+        scan = nn.scan(body,
+                       variable_broadcast=["params", "batch_stats"],
+                       split_rngs={"params": False, "dropout": False},
+                       in_axes=1)
+        prev_bev, _ = scan(self, init_bev,
+                           (imgs_queue, can_bus_queue, lidar2img_queue,
+                            valid))
         return jax.lax.stop_gradient(prev_bev)
 
     def __call__(self, imgs, can_bus, lidar2img, prev_exists,

@@ -169,8 +169,10 @@ def _bilinear_upsample(x, factor: int):
     x0 = jnp.floor(xs).astype(jnp.int32)
     y1 = jnp.minimum(y0 + 1, h - 1)
     x1 = jnp.minimum(x0 + 1, w - 1)
-    ly = (ys - y0)[None, :, None, None]
-    lx = (xs - x0)[None, None, :, None]
+    # lerp weights in the feature dtype — fp32 weights would promote
+    # the whole [B, th, tw, C] product chain under bf16 mixed precision
+    ly = (ys - y0)[None, :, None, None].astype(x.dtype)
+    lx = (xs - x0)[None, None, :, None].astype(x.dtype)
     v00 = x[:, y0][:, :, x0]
     v01 = x[:, y0][:, :, x1]
     v10 = x[:, y1][:, :, x0]

@@ -66,15 +66,18 @@ def _bev_pool_fwd_impl(feats, coords, valid, b, h, w):
 
 def _bev_pool_fwd(feats, coords, valid, b, h, w):
     out = _bev_pool_fwd_impl(feats, coords, valid, b, h, w)
-    return out, (coords, valid)
+    return out, (coords, valid, jnp.zeros((0,), feats.dtype))
 
 
 def _bev_pool_bwd(b, h, w, res, g):
-    coords, valid = res
+    coords, valid, dt_token = res
     cell = _flat_cell_index(coords, valid, b, h, w)
-    g_flat = g.reshape(b * h * w, -1)
+    # cast the cotangent to the primal dtype BEFORE the [N, C] gather:
+    # custom_vjp requires matching dtypes, and a bf16 gather halves the
+    # dominant HBM traffic of this backward
+    g_flat = g.astype(dt_token.dtype).reshape(b * h * w, -1)
     dx = g_flat[jnp.clip(cell, 0, b * h * w - 1)]
-    dx = jnp.where(valid[:, None], dx, 0.0)
+    dx = jnp.where(valid[:, None], dx, jnp.zeros((), dx.dtype))
     return dx, None, None
 
 

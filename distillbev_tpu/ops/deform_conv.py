@@ -49,13 +49,16 @@ def modulated_deform_conv2d(x: jnp.ndarray,
     pad_h = (kh - 1) * dilation // 2
     pad_w = (kw - 1) * dilation // 2
 
-    # base sampling grid per output pixel and tap
-    oy = jnp.arange(ho, dtype=x.dtype) * stride - pad_h
-    ox = jnp.arange(wo, dtype=x.dtype) * stride - pad_w
-    ty = jnp.repeat(jnp.arange(kh, dtype=x.dtype) * dilation, kw)  # [K]
-    tx = jnp.tile(jnp.arange(kw, dtype=x.dtype) * dilation, kh)    # [K]
+    # base sampling grid per output pixel and tap — coordinates in fp32
+    # regardless of feature dtype (bf16 cannot resolve sub-pixel
+    # positions at real spatial sizes; the lerp weights downstream cast
+    # back to the feature dtype in bilinear_sample_pixels)
+    oy = jnp.arange(ho, dtype=jnp.float32) * stride - pad_h
+    ox = jnp.arange(wo, dtype=jnp.float32) * stride - pad_w
+    ty = jnp.repeat(jnp.arange(kh, dtype=jnp.float32) * dilation, kw)
+    tx = jnp.tile(jnp.arange(kw, dtype=jnp.float32) * dilation, kh)
 
-    off = offset.reshape(b, ho, wo, k, 2)
+    off = offset.reshape(b, ho, wo, k, 2).astype(jnp.float32)
     py = oy[None, :, None, None] + ty[None, None, None, :] + off[..., 0]
     px = ox[None, None, :, None] + tx[None, None, None, :] + off[..., 1]
 

@@ -19,8 +19,11 @@ def bilinear_sample_pixels(img: jnp.ndarray, px: jnp.ndarray,
     b, h, w, c = img.shape
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
-    lx = px - x0
-    ly = py - y0
+    # lerp weights in the image dtype: coordinates stay fp32 (bf16
+    # cannot resolve sub-pixel positions at real widths) but fp32
+    # weights would promote every [.., C] corner product under bf16
+    lx = (px - x0).astype(img.dtype)
+    ly = (py - y0).astype(img.dtype)
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
@@ -31,7 +34,7 @@ def bilinear_sample_pixels(img: jnp.ndarray, px: jnp.ndarray,
             img.reshape(b, h * w, c),
             flat.reshape(b, -1)[..., None], axis=1)
         v = v.reshape(flat.shape + (c,))
-        return jnp.where(ok[..., None], v, 0.0)
+        return jnp.where(ok[..., None], v, jnp.zeros((), v.dtype))
 
     return (corner(y0i, x0i) * ((1 - lx) * (1 - ly))[..., None] +
             corner(y0i, x0i + 1) * (lx * (1 - ly))[..., None] +

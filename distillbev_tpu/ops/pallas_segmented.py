@@ -42,14 +42,29 @@ def _seg_scan_kernel(keys_ref, vals_ref, out_ref, carry_key, carry_val):
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
     eq = keys == jnp.transpose(keys)                    # [T, T]
-    mask = jnp.where(eq & (col_ids <= row_ids), 1.0, 0.0)
-    # HIGHEST precision: the v5e MXU natively multiplies in bf16; the
-    # mask is exact in bf16 but vals are not — fp32-emulated passes keep
-    # the segment sums at fp32 accuracy (verified vs float64 reference)
-    scanned = jax.lax.dot_general(
-        mask, vals, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
+    if vals_ref.dtype == jnp.bfloat16:
+        # bf16 inputs: the 0/1 mask and the bf16 values are BOTH exact
+        # in bf16, and preferred_element_type keeps the MXU accumulator
+        # fp32 — so ONE native bf16 pass equals the fp32 matmul of the
+        # upcast values, at ~3x the MXU rate and half the VMEM read
+        # build the 0/1 mask via an fp32 select, then convert: a direct
+        # bool-select into bf16 trips a Mosaic i1->(16,128) relayout
+        # error ("Invalid relayout ... vector<512x512xi1>")
+        mask = jnp.where(eq & (col_ids <= row_ids), 1.0, 0.0).astype(
+            jnp.bfloat16)
+        scanned = jax.lax.dot_general(
+            mask, vals_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        mask = jnp.where(eq & (col_ids <= row_ids), 1.0, 0.0)
+        # HIGHEST precision: the v5e MXU natively multiplies in bf16;
+        # the mask is exact in bf16 but fp32 vals are not —
+        # fp32-emulated passes keep the segment sums at fp32 accuracy
+        # (verified vs float64 reference)
+        scanned = jax.lax.dot_general(
+            mask, vals, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
 
     # keys ascending => only the leading run can equal the carried key
     add_carry = jnp.where(keys == carry_key[0], 1.0, 0.0)

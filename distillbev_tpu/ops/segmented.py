@@ -108,7 +108,7 @@ def _scan_sum(vals: jnp.ndarray, sorted_keys: jnp.ndarray,
         v, k, n = pad_rows_to_multiple(
             vals, sorted_keys, tile, pad_key=jnp.iinfo(jnp.int32).max)
         return segmented_cumsum_pallas(v, k, tile=tile)[:n]
-    return segmented_cumsum(vals, starts)
+    return segmented_cumsum(vals.astype(jnp.float32), starts)
 
 
 def segment_ids_from_starts(starts: jnp.ndarray) -> jnp.ndarray:
@@ -220,10 +220,13 @@ def segment_reduce_sorted(values: jnp.ndarray,
         sorted_keys = jnp.where(valid, sorted_keys, num_segments)
     starts = segment_starts(sorted_keys)
     if reduce in ("sum", "mean"):
-        vals = values.astype(jnp.float32)
+        # keep bf16 rows bf16 into the Pallas scan (it accumulates fp32
+        # in-register; the [N, C] HBM read halves) — the XLA fallback
+        # inside _scan_sum still casts fp32 for its carry chain
+        vals = values
         if valid is not None:
             mask = valid.reshape((-1,) + (1,) * (values.ndim - 1))
-            vals = jnp.where(mask, vals, 0.0)
+            vals = jnp.where(mask, vals, jnp.zeros((), vals.dtype))
         scanned = _scan_sum(vals, sorted_keys, starts)
     elif reduce == "max":
         neg = jnp.full_like(values, -jnp.inf, dtype=jnp.float32)

@@ -79,3 +79,21 @@ class TestPallasSegScan:
         v2, k2, n = pad_rows_to_multiple(vals, keys, 64, pad_key=999)
         assert v2.shape[0] == 128 and n == 100
         assert int(k2[-1]) == 999
+
+
+def test_bf16_input_accumulates_fp32():
+    """bf16 rows into the kernel: single-pass bf16 MXU matmul with fp32
+    accumulation must equal the fp32 scan of the upcast values exactly
+    (0/1 mask and bf16 values are both exact bf16 products)."""
+    r = np.random.RandomState(5)
+    n, c = 1024, 16
+    keys = np.sort(r.randint(0, 40, n)).astype(np.int32)
+    vals16 = r.randn(n, c).astype(jnp.bfloat16)
+    got = segmented_cumsum_pallas(jnp.asarray(vals16),
+                                  jnp.asarray(keys), tile=512)
+    want = segmented_cumsum_pallas(
+        jnp.asarray(vals16).astype(jnp.float32),
+        jnp.asarray(keys), tile=512)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=0)

@@ -78,3 +78,56 @@ def test_train_model_e2e(tmp_path):
     assert len(ckpts) >= 1
     # metrics written
     assert osp.exists(osp.join(work_dir, "tb", "metrics.jsonl"))
+
+
+@pytest.mark.slow
+def test_self_ckpt_warm_start(tmp_path):
+    """model.self_ckpt warm-starts the student from a previous distill
+    run (reference bevdet_distill.py:163-173 load_checkpoint(self)): a
+    marker value planted in the saved params must survive into the new
+    run's trained state."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    root = str(tmp_path / "data")
+    ann = make_mini_nuscenes(root, n_samples=4, img_hw=(90, 160))
+    cfg_path = write_mini_distill_config(tmp_path, ann)
+    cfg = Config.fromfile(cfg_path)
+
+    from distillbev_tpu.apis.train import train_model
+    state = train_model(cfg, str(tmp_path / "w1"), max_steps_per_epoch=1)
+
+    # plant a marker in one conv kernel and save as a self checkpoint
+    params = jax.tree_util.tree_map(np.asarray, state.params)
+    path = []
+
+    def plant(tree, prefix=()):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if plant(v, prefix + (k,)):
+                    return True
+            elif hasattr(v, "shape") and v.ndim >= 2 and not path:
+                tree[k] = np.full_like(v, 7.0)
+                path.extend(prefix + (k,))
+                return True
+        return False
+
+    assert plant(params)
+    ckpt_dir = str(tmp_path / "self_ckpt")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(ckpt_dir, dict(params=params,
+                              batch_stats=jax.tree_util.tree_map(
+                                  np.asarray, state.batch_stats)))
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+    cfg2 = Config.fromfile(cfg_path)
+    cfg2.model["self_ckpt"] = ckpt_dir
+    state2 = train_model(cfg2, str(tmp_path / "w2"),
+                         max_steps_per_epoch=1)
+    node = state2.params
+    for k in path:
+        node = node[k]
+    # one optimizer step moved it slightly off the marker; a fresh init
+    # would be near zero
+    assert abs(float(np.asarray(node).mean()) - 7.0) < 0.5, path
