@@ -160,10 +160,13 @@ class CenterHead(nn.Module):
         for tid, task in enumerate(self.tasks):
             heads = {k: tuple(v) for k, v in dict(self.common_heads).items()}
             heads["heatmap"] = (task["num_class"], 2)
+            # reference parity: SeparateHead's head_conv defaults to 64
+            # regardless of share_conv_channel and is overridable via
+            # the separate_head cfg (mmdet3d SeparateHead:31)
             outs.append(sep_cls(
-                heads=heads, head_conv=self.share_conv_channel,
-                norm_cfg=self.norm_cfg,
-                name=f"task_{tid}", **sep)(x, train=train))
+                heads=heads, norm_cfg=self.norm_cfg,
+                name=f"task_{tid}",
+                **{"head_conv": 64, **sep})(x, train=train))
         return outs
 
     # ------------------------------------------------------------------

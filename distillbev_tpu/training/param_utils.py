@@ -177,8 +177,12 @@ def map_params(torch_flat: Dict[str, np.ndarray],
         if raw.ndim == 4 and len(dst) == 4 and \
                 any("deconv" in str(p) for p in path[-2:]):
             # torch ConvTranspose2d (in, out, kh, kw) -> flax
-            # ConvTranspose (kh, kw, in, out)
-            arr = raw.transpose(2, 3, 0, 1)
+            # ConvTranspose (kh, kw, in, out), SPATIALLY FLIPPED:
+            # torch's transposed conv is the conv gradient (places
+            # w[ky,kx] at output offset (ky,kx)); lax.conv_transpose
+            # applies the kernel unflipped (golden-activation test
+            # tests/test_golden_activations.py pins this)
+            arr = raw.transpose(2, 3, 0, 1)[::-1, ::-1].copy()
         else:
             arr = convert_tensor(tname, raw)
         if arr.shape != dst:

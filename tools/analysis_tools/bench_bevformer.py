@@ -87,8 +87,11 @@ def main():
     jax.block_until_ready(t_bundle.bev_feat)
     print(f"teacher fwd ok {time.perf_counter() - t0:.1f}s", flush=True)
 
-    svars = jax.jit(lambda k, b_: student.init(
-        k, b_.imgs, b_.can_bus, b_.lidar2img, b_.prev_exists))(key, batch)
+    from functools import partial
+    svars = jax.jit(partial(student.init,
+                            method="init_with_teacher"))(
+        key, batch.imgs, batch.can_bus, batch.lidar2img,
+        batch.prev_exists, t_bundle.bev_feat)
     print("student init ok", flush=True)
 
     head_cfg = dict(model_cfg["pts_bbox_head"])
