@@ -48,6 +48,9 @@ model = dict(
         hs_weight=0, query_weight=0),
     use_grid_mask=True,
     video_test_mode=True,
+    # camera-scanned image encoder: N_cam-fold lower peak backbone
+    # memory, exact under norm_eval=True (single-16GB-chip recipe)
+    seq_img_encoder=True,
     img_backbone=dict(type="ResNet", depth=50, num_stages=4,
                       out_indices=(1, 2, 3), frozen_stages=1,
                       norm_cfg=dict(type="BN", requires_grad=False),

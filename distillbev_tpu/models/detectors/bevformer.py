@@ -40,6 +40,12 @@ class BEVFormer(nn.Module):
     pts_bbox_head: Any = None
     use_grid_mask: bool = False
     video_test_mode: bool = True
+    # scan the image encoder over the camera axis: peak backbone
+    # activation/residual memory drops N_cam-fold (exact under the
+    # recipe's norm_eval=True — BN uses running stats, so per-camera
+    # batches see identical statistics).  The full-size single-chip
+    # config enables it (docs/PERF.md BEVFormer track).
+    seq_img_encoder: bool = False
     train_cfg: Any = None
     test_cfg: Any = None
     pretrained: Any = None
@@ -66,6 +72,28 @@ class BEVFormer(nn.Module):
                 rng = self.make_rng("dropout")
             if rng is not None:
                 x = grid_mask(rng, x)
+        if self.seq_img_encoder:
+            assert not train or dict(self.img_backbone).get(
+                "norm_eval", False), \
+                "seq_img_encoder needs norm_eval=True (per-camera " \
+                "batches must not change BN statistics)"
+
+            def enc_one(mdl, carry, xc):
+                f = mdl.backbone(xc, train=train)
+                if mdl.neck is not None:
+                    f = mdl.neck(f, train=train)
+                return carry, tuple(f)
+
+            scan = nn.scan(enc_one,
+                           variable_broadcast=["params", "batch_stats"],
+                           split_rngs={"params": False,
+                                       "dropout": False},
+                           in_axes=0, out_axes=0)
+            # [B*N, H, W, 3] -> N chunks of [B, H, W, 3]
+            xn = x.reshape(b, n, h, w, c).swapaxes(0, 1)
+            _, feats = scan(self, (), xn)
+            # each level: [N, B, h_l, w_l, C] -> [B, N, ...]
+            return [f.swapaxes(0, 1) for f in feats]
         feats = self.backbone(x, train=train)
         if self.neck is not None:
             feats = self.neck(feats, train=train)

@@ -461,3 +461,31 @@ def test_grid_mask_active_in_train_path(rng):
         if diff > 0:
             break
     assert diff > 0, "grid_mask had no effect in the train path"
+
+
+def test_seq_img_encoder_matches_batched(rng):
+    """Camera-scanned image encoding equals the batched pass exactly
+    under norm_eval=True (per-camera batches see the same running BN
+    statistics)."""
+    from distillbev_tpu.models import build_detector
+    base = tiny_bevformer_cfg()
+    base["img_backbone"]["norm_eval"] = True
+    m_batched = build_detector({**base, "seq_img_encoder": False})
+    m_seq = build_detector({**base, "seq_img_encoder": True})
+    b, n, h, w = 1, 2, 32, 32
+    imgs = jnp.asarray(rng.randn(b, n, h, w, 3), jnp.float32)
+    vs = m_batched.init(jax.random.PRNGKey(0), imgs[:, None].repeat(
+        1, axis=1), jnp.zeros((b, 1, 18)),
+        jnp.tile(jnp.eye(4)[None, None, None], (b, 1, n, 1, 1)),
+        jnp.zeros((b, 1)))
+    f_b = m_batched.apply(vs, imgs, train=True,
+                          rngs={"dropout": jax.random.PRNGKey(1)},
+                          mutable=["batch_stats"],
+                          method=m_batched.extract_img_feat)[0]
+    f_s = m_seq.apply(vs, imgs, train=True,
+                      rngs={"dropout": jax.random.PRNGKey(1)},
+                      mutable=["batch_stats"],
+                      method=m_seq.extract_img_feat)[0]
+    for a, c in zip(f_b, f_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-5)
