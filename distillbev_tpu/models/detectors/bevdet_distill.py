@@ -72,9 +72,12 @@ class _DistillBase:
                        gt_mask: jnp.ndarray,
                        gt_heatmaps: List[jnp.ndarray],
                        epoch: jnp.ndarray,
-                       train: bool = False) -> Dict[str, jnp.ndarray]:
+                       train: bool = False,
+                       return_maps: bool = False) -> Dict[str, jnp.ndarray]:
         """All (student_pos, teacher_pos) pairings -> loss dict
-        (reference forward_distill:1411-1507)."""
+        (reference forward_distill:1411-1507).  ``return_maps=True``
+        also returns {f"{s_pos}_{t_pos}": mask-map dict} for the
+        ``--save_attention`` debug dump (reference tools/test.py:163)."""
         p = dict(self.distill_params)
         s_pos = list(p["student_feat_pos"])
         t_pos = list(p["teacher_feat_pos"])
@@ -82,6 +85,7 @@ class _DistillBase:
         ms_epoch = p.get("multi_scale_epoch", -1)
         two_stage = p.get("two_stage_epoch", -1)
         losses: Dict[str, jnp.ndarray] = {}
+        all_maps: Dict[str, Dict[str, jnp.ndarray]] = {}
         # camera teachers (StudentFeatureBundle) have no scatter canvas
         canvas = getattr(teacher_bundle, "canvas", None)
         if canvas is not None:
@@ -105,7 +109,9 @@ class _DistillBase:
             idx_losses = self.distiller.distill_loss(
                 index, t_feat, s_feat, gt_boxes, gt_mask, canvas,
                 gt_heatmaps, teacher_preds, student_preds, epoch,
-                train=train)
+                train=train, return_maps=return_maps)
+            if return_maps:
+                idx_losses, all_maps[f"{sp}_{tp}"] = idx_losses
             gate = jnp.float32(1.0)
             if sp.startswith("backbone") and ms_epoch > 0:
                 gate = gate * (epoch >= ms_epoch).astype(jnp.float32)
@@ -113,6 +119,8 @@ class _DistillBase:
                 gate = gate * (epoch >= two_stage).astype(jnp.float32)
             for k, v in idx_losses.items():
                 losses[f"{k}_{sp}_{tp}"] = v * gate
+        if return_maps:
+            return losses, all_maps
         return losses
 
 

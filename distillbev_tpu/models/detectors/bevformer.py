@@ -219,7 +219,8 @@ class BEVFormerDistill(BEVFormer, _DistillBase):
     def distill_losses_bevformer(self, student_outs, teacher_outs,
                                  teacher_bev_feat, gt_boxes, gt_labels,
                                  gt_mask, epoch, bev_h: int, bev_w: int,
-                                 train: bool = False, teacher_dec=None):
+                                 train: bool = False, teacher_dec=None,
+                                 return_maps: bool = False):
         """FGD on the (student bev_embed, teacher bev_feat) pair +
         optional hs/query distillation.  ``teacher_dec`` (DecodedBoxes
         from the teacher's head) feeds the bbox-based FP-as-FG miner
@@ -243,7 +244,11 @@ class BEVFormerDistill(BEVFormer, _DistillBase):
                 tc["grid_size"], p["output_threshold"])
         losses = self.distiller.distill_loss(
             0, t_feat, s_feat, gt_boxes, gt_mask, None, None, None,
-            None, epoch, train=train, fp_override=fp_override)
+            None, epoch, train=train, fp_override=fp_override,
+            return_maps=return_maps)
+        maps = {}
+        if return_maps:
+            losses, maps = losses
         if p.get("hs_weight", 0):
             hs_s = student_outs["hs"][-1]
             hs_t = jax.lax.stop_gradient(teacher_outs["hs"][-1])
@@ -255,7 +260,10 @@ class BEVFormerDistill(BEVFormer, _DistillBase):
             if q_s.shape == q_t.shape:
                 losses["kd_query_loss"] = p["query_weight"] * jnp.abs(
                     q_s - q_t).mean()
-        return {f"{k}_bev": v for k, v in losses.items()}
+        out = {f"{k}_bev": v for k, v in losses.items()}
+        if return_maps:
+            return out, {"bev": maps}
+        return out
 
     def init_with_teacher(self, imgs, can_bus, lidar2img, prev_exists,
                           teacher_bev_feat, train: bool = False):

@@ -193,48 +193,59 @@ class Distiller(nn.Module):
                      student_preds: Optional[List[Dict]],
                      epoch: jnp.ndarray,
                      train: bool = False,
-                     fp_override=None) -> Dict[str, jnp.ndarray]:
+                     fp_override=None,
+                     return_maps: bool = False) -> Dict[str, jnp.ndarray]:
         """Dispatch one (student_pos, teacher_pos) pairing's losses
         (reference distill_loss:1365-1409).  ``fp_override`` is a
         precomputed (fp_mask, fp_scale, fp_count) triple — the
         transformer path mines FPs from decoded teacher boxes instead
-        of heatmaps (reference add_fp_as_fg_bbox)."""
+        of heatmaps (reference add_fp_as_fg_bbox).
+
+        ``return_maps=True`` additionally returns the intermediate
+        mask/attention maps for the ``--save_attention`` debug dump
+        (reference tools/test.py:163 + bevdet_distill.py:1193-1249);
+        only the fgd type produces maps."""
         t = self.distill_type
         if t == "fgd":
             return self.fgd_loss(index, teacher_feat, student_feat,
                                  gt_boxes, gt_mask, canvas_feat,
                                  gt_heatmaps, teacher_preds, student_preds,
                                  epoch, train=train,
-                                 fp_override=fp_override)
+                                 fp_override=fp_override,
+                                 return_maps=return_maps)
         if t == "all":
-            return self.all_loss(index, teacher_feat, student_feat, train)
-        if t == "foreground_background":
-            return self.fg_bg_loss(index, teacher_feat, student_feat,
-                                   gt_boxes, gt_mask, train)
-        if t == "linfengzhang":
-            return self.linfengzhang_loss(index, teacher_feat,
-                                          student_feat, train)
-        if t == "s2m2_ssd_heatmap":
-            return self.s2m2_heatmap_loss(gt_heatmaps, teacher_preds,
-                                          student_preds)
-        if t == "s2m2_ssd_feature":
-            return self.s2m2_feature_loss(index, teacher_feat,
-                                          student_feat, gt_heatmaps,
-                                          student_preds, train)
-        if t == "gauss_focal_heatmap":
-            return self.gauss_focal_loss(gt_heatmaps, teacher_preds,
-                                         student_preds)
-        if t == "non_local":
-            return self.non_local_loss(index, teacher_feat, student_feat,
-                                       train)
-        if t == "affinity":
-            return self.affinity_loss(index, teacher_feat, student_feat)
-        raise NotImplementedError(t)
+            losses = self.all_loss(index, teacher_feat, student_feat,
+                                   train)
+        elif t == "foreground_background":
+            losses = self.fg_bg_loss(index, teacher_feat, student_feat,
+                                     gt_boxes, gt_mask, train)
+        elif t == "linfengzhang":
+            losses = self.linfengzhang_loss(index, teacher_feat,
+                                            student_feat, train)
+        elif t == "s2m2_ssd_heatmap":
+            losses = self.s2m2_heatmap_loss(gt_heatmaps, teacher_preds,
+                                            student_preds)
+        elif t == "s2m2_ssd_feature":
+            losses = self.s2m2_feature_loss(index, teacher_feat,
+                                            student_feat, gt_heatmaps,
+                                            student_preds, train)
+        elif t == "gauss_focal_heatmap":
+            losses = self.gauss_focal_loss(gt_heatmaps, teacher_preds,
+                                           student_preds)
+        elif t == "non_local":
+            losses = self.non_local_loss(index, teacher_feat,
+                                         student_feat, train)
+        elif t == "affinity":
+            losses = self.affinity_loss(index, teacher_feat, student_feat)
+        else:
+            raise NotImplementedError(t)
+        return (losses, {}) if return_maps else losses
 
     # -- fgd (the headline recipe) -------------------------------------
     def fgd_loss(self, index, teacher_feat, student_feat, gt_boxes,
                  gt_mask, canvas_feat, gt_heatmaps, teacher_preds,
-                 student_preds, epoch, train=False, fp_override=None):
+                 student_preds, epoch, train=False, fp_override=None,
+                 return_maps=False):
         p = dict(self.distill_params)
         s_t = p["spatial_t"]
         s_ratio = p["spatial_student_ratio"]
@@ -468,6 +479,25 @@ class Distiller(nn.Module):
                 raise NotImplementedError(aff_mode)
             losses.update(self._affinity_on_mask(
                 index, teacher_feat, student_feat, sel))
+        if return_maps:
+            # debug/visualization surface (reference save_attention /
+            # save_foreground_mask, bevdet_distill.py:1076-1082,
+            # 1193-1249): every mask the loss saw, plus the adapted
+            # feature pair it compared
+            maps = dict(
+                fg_mask=fg_mask, bg_mask=bg_mask,
+                fg_weight=fg_m, bg_weight=bg_m,
+                spatial_attention_teacher=t_att,
+                spatial_attention_student=s_att,
+                spatial_attention=sum_att,
+                channel_attention_teacher=c_t_att,
+                teacher_feat=teacher_feat, student_feat=student_feat)
+            if fp_mode != "none":
+                maps["fp_mask"] = fp_mask
+                maps["fp_scale"] = fp_scale
+            if ne_mask is not None:
+                maps["non_empty_bg_mask"] = ne_mask
+            return losses, maps
         return losses
 
     # -- alternative distill types -------------------------------------

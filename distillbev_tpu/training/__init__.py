@@ -4,5 +4,6 @@ from .train_step import (TrainState, PointsBatch, DistillBatch,
                          make_distill_train_step,
                          make_camera_distill_train_step,
                          make_bevformer_distill_train_step,
+                         make_bevformer_distill_split_steps,
                          make_bevformer_train_step,
                          init_train_state, gravity_centered)

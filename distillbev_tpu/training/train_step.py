@@ -290,6 +290,90 @@ def make_bevformer_distill_train_step(student, teacher, tx,
     return train_step
 
 
+def make_bevformer_distill_split_steps(student, teacher, tx,
+                                       bev_h: int, bev_w: int,
+                                       mixed_precision: bool = False
+                                       ) -> Tuple[Callable, Callable]:
+    """The BEVFormer distill step as TWO jittable pieces:
+    ``teacher_fn(teacher_variables, batch) -> (t_outs, t_bev_feat,
+    t_dec)`` and ``student_fn(state, t_outs, t_bev_feat, t_dec, batch,
+    epoch) -> (state, metrics)``.
+
+    Identical math to make_bevformer_distill_train_step (the teacher is
+    frozen, so cutting the graph at its outputs changes nothing), but
+    each piece's HLO is roughly half the fused step's — this is the
+    compile-memory escape hatch for running the FULL-SIZE flagship
+    (queue=4, 6 cams at 928x1600, spconv teacher) through compilers
+    that cannot hold the fused graph.  The fused variant stays the
+    default for training (XLA overlaps teacher and student compute)."""
+
+    def teacher_fn(teacher_variables, batch: BEVFormerBatch):
+        if mixed_precision:
+            teacher_variables = dict(teacher_variables)
+            teacher_variables["params"] = _half(
+                teacher_variables["params"])
+        t_outs, t_bundle = teacher.apply(
+            teacher_variables, batch.points, batch.point_mask,
+            train=False)
+        t_outs = jax.lax.stop_gradient(_full(t_outs))
+        t_bev_feat = jax.lax.stop_gradient(_full(t_bundle.bev_feat))
+        t_dec = None
+        fp_mode = dict(student.distill_params or {}).get(
+            "fp_as_foreground", "none")
+        if (fp_mode[0] if isinstance(fp_mode, (list, tuple))
+                else fp_mode) != "none":
+            t_dec = jax.lax.stop_gradient(teacher.apply(
+                teacher_variables, t_outs, method=teacher.get_bboxes))
+        return t_outs, t_bev_feat, t_dec
+
+    def student_fn(state: TrainState, t_outs, t_bev_feat, t_dec,
+                   batch: BEVFormerBatch, epoch: jnp.ndarray):
+        gt = gravity_centered(batch.gt_boxes)
+        if mixed_precision:
+            batch = batch._replace(
+                imgs=batch.imgs.astype(jnp.bfloat16))
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(0),
+                                         state.step)
+
+        def loss_fn(params):
+            variables = {"params": _half(params) if mixed_precision
+                         else params,
+                         "batch_stats": state.batch_stats}
+            (outs, bundle), new_state = student.apply(
+                variables, batch.imgs, batch.can_bus, batch.lidar2img,
+                batch.prev_exists, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng})
+            if mixed_precision:
+                outs = _full(outs)
+                bundle = _full(bundle)
+            det_losses = student.apply(
+                variables, outs, gt, batch.gt_labels, batch.gt_mask,
+                method=student.loss)
+            losses = dict(det_losses)
+            distill = student.apply(
+                variables, outs, t_outs, t_bev_feat, gt,
+                batch.gt_labels, batch.gt_mask, epoch, bev_h, bev_w,
+                True, t_dec,
+                method=student.distill_losses_bevformer)
+            losses.update(distill)
+            total = sum(jax.tree_util.tree_leaves(losses))
+            return total, (losses, new_state["batch_stats"])
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, new_stats, opt_state,
+                          state.step + 1), metrics
+
+    return teacher_fn, student_fn
+
+
 def make_bevformer_train_step(model, tx,
                               mixed_precision: bool = False
                               ) -> Callable:

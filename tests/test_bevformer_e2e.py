@@ -130,8 +130,22 @@ def test_bevformer_distill_e2e(tmp_path):
                              svars.get("batch_stats", {}), tx)
     step_fn = jax.jit(make_bevformer_distill_train_step(
         student, teacher, tx, BEV_H, BEV_W))
-    state, metrics = step_fn(state, tvars, batch, jnp.float32(1.0))
+    state1, metrics = step_fn(state, tvars, batch, jnp.float32(1.0))
     assert np.isfinite(float(metrics["total_loss"]))
     assert any(k.startswith("kd_") for k in metrics)
     assert "loss_cls" in metrics
     assert float(metrics["grad_norm"]) > 0
+
+    # split-compile mode (two jits; the full-size single-chip escape
+    # hatch) computes the identical step
+    from distillbev_tpu.training import make_bevformer_distill_split_steps
+    teacher_fn, student_fn = make_bevformer_distill_split_steps(
+        student, teacher, tx, BEV_H, BEV_W)
+    t_outs, t_bev, t_dec = jax.jit(teacher_fn)(tvars, batch)
+    assert t_dec is None    # fp_as_foreground="none" in this recipe
+    _, metrics2 = jax.jit(student_fn)(state, t_outs, t_bev, t_dec,
+                                      batch, jnp.float32(1.0))
+    for k, v in metrics.items():
+        np.testing.assert_allclose(
+            float(metrics2[k]), float(v), rtol=1e-5, atol=1e-6,
+            err_msg=f"split-step mismatch on {k}")

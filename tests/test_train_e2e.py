@@ -81,6 +81,39 @@ def test_train_model_e2e(tmp_path):
 
 
 @pytest.mark.slow
+def test_save_attention_dump(tmp_path):
+    """--save_attention dumps the distill masks/attention maps per
+    (student_pos, teacher_pos) pairing as .npz (reference
+    tools/test.py:163 + bevdet_distill.py:1193-1249)."""
+    root = str(tmp_path / "data")
+    ann = make_mini_nuscenes(root, n_samples=4, img_hw=(90, 160))
+    cfg_path = write_mini_distill_config(tmp_path, ann)
+    cfg = Config.fromfile(cfg_path)
+
+    from distillbev_tpu.apis.debug import save_attention_dump
+    out = str(tmp_path / "attn")
+    n = save_attention_dump(cfg, None, out, limit=1)
+    assert n == 1
+    files = sorted(os.listdir(out))
+    assert files == ["attention_0000.npz"]
+    data = np.load(osp.join(out, files[0]))
+    pairs = {k.split("/")[0] for k in data.files}
+    p = cfg.model["distill_params"]
+    assert pairs == {f"{s}_{t}" for s, t in zip(
+        p["student_feat_pos"], p["teacher_feat_pos"])}
+    pair = next(iter(pairs))
+    for name in ("fg_mask", "bg_mask", "spatial_attention",
+                 "spatial_attention_teacher", "channel_attention_teacher",
+                 "teacher_feat", "student_feat"):
+        assert f"{pair}/{name}" in data.files, name
+    fg = data[f"{pair}/fg_mask"]
+    assert fg.ndim == 3 and np.isfinite(fg).all()
+    # fg and bg are disjoint by construction
+    bg = data[f"{pair}/bg_mask"]
+    assert (fg * bg == 0).all()
+
+
+@pytest.mark.slow
 def test_self_ckpt_warm_start(tmp_path):
     """model.self_ckpt warm-starts the student from a previous distill
     run (reference bevdet_distill.py:163-173 load_checkpoint(self)): a

@@ -26,8 +26,9 @@ def main():
 
     from distillbev_tpu.config import Config
     from distillbev_tpu.models import build_detector
-    from distillbev_tpu.training import (init_train_state,
-                                         make_bevformer_distill_train_step)
+    from distillbev_tpu.training import (
+        init_train_state, make_bevformer_distill_train_step,
+        make_bevformer_distill_split_steps)
     from distillbev_tpu.training.train_step import BEVFormerBatch
     from distillbev_tpu.training.optim import build_optimizer
     from distillbev_tpu.training.schedules import build_lr_schedule
@@ -105,11 +106,26 @@ def main():
                          grad_clip=dict(max_norm=35))
     state = init_train_state(svars["params"],
                              svars.get("batch_stats", {}), tx)
-    step_fn = jax.jit(make_bevformer_distill_train_step(
-        student, teacher, tx, head_cfg["bev_h"], head_cfg["bev_w"],
-        mixed_precision=True), donate_argnums=(0,))
+    split = os.environ.get("BF_SPLIT", "1") == "1"
+    if split:
+        # two jits per step: this sandbox's compile helper is SIGKILLed
+        # by the fused step's HLO; the split halves what it must hold
+        # (identical math — the teacher is frozen)
+        teacher_fn, student_fn = make_bevformer_distill_split_steps(
+            student, teacher, tx, head_cfg["bev_h"], head_cfg["bev_w"],
+            mixed_precision=True)
+        teacher_fn = jax.jit(teacher_fn)
+        student_fn = jax.jit(student_fn, donate_argnums=(0,))
 
-    print("compiling full step...", flush=True)
+        def step_fn(state, tvars, batch, epoch):
+            t_outs, t_bev, t_dec = teacher_fn(tvars, batch)
+            return student_fn(state, t_outs, t_bev, t_dec, batch, epoch)
+    else:
+        step_fn = jax.jit(make_bevformer_distill_train_step(
+            student, teacher, tx, head_cfg["bev_h"], head_cfg["bev_w"],
+            mixed_precision=True), donate_argnums=(0,))
+
+    print(f"compiling full step (split={split})...", flush=True)
     t0 = time.perf_counter()
     state, metrics = step_fn(state, tvars, batch, jnp.float32(1.0))
     loss0 = float(metrics["total_loss"])

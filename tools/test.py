@@ -23,6 +23,14 @@ def parse_args():
                         action=DictAction.argparse())
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host: jax.distributed.initialize()")
+    parser.add_argument(
+        "--save_attention", nargs="?", const="attention_dump",
+        default=None, metavar="DIR",
+        help="distill configs only: dump foreground/attention/FP masks "
+        "for shuffled train batches to DIR as .npz and exit "
+        "(reference tools/test.py:163)")
+    parser.add_argument("--save-limit", type=int, default=8,
+                        help="batches to dump with --save_attention")
     return parser.parse_args()
 
 
@@ -73,6 +81,15 @@ def main():
     from distillbev_tpu.apis.test import (
         run_eval, evaluate_results, collect_results_hosts,
         tta_flip_combos_from_pipeline)
+
+    if args.save_attention:
+        from distillbev_tpu.apis.debug import save_attention_dump
+        variables = load_eval_variables(args.checkpoint) \
+            if args.checkpoint else None
+        n = save_attention_dump(cfg, variables, args.save_attention,
+                                limit=args.save_limit)
+        print(f"saved {n} attention dumps to {args.save_attention}")
+        return
     from distillbev_tpu.datasets import build_dataset, build_dataloader
     from distillbev_tpu.models import build_detector
     from distillbev_tpu.utils.logger import get_root_logger
