@@ -36,6 +36,20 @@ class PFNLayer(nn.Module):
     norm_cfg: Optional[dict] = None
     last_layer: bool = True
     mode: str = "max"
+    # Reference parity quirk (reference utils.py PFNLayer.forward:159-168):
+    # the reference max-pools over ALL P slots with no re-mask, so padded
+    # slots contribute relu(BN(0)) — a per-channel floor on every pillar
+    # that has at least one empty slot.  At eval (running BN stats) that
+    # floor is a constant we replicate exactly; train-time BN statistics
+    # already diverge by design (ours are masked), so the quirk is
+    # eval-only.
+    pad_pool_parity: bool = True
+
+    def _pad_floor(self, dtype):
+        """relu(BN(0)) per channel under running stats — what a padded
+        slot contributes to the reference's max-pool."""
+        zero = jnp.zeros((1, self.units), dtype)
+        return nn.relu(self.norm(zero, use_running_average=True))[0]
 
     def setup(self):
         units = self.out_channels if self.last_layer \
@@ -57,6 +71,12 @@ class PFNLayer(nn.Module):
                 jnp.where(point_mask[..., None], x, neg), axis=2)
             pooled = jnp.where(
                 point_mask.any(axis=2)[..., None], pooled, 0.0)
+            if self.pad_pool_parity and not train and self.last_layer:
+                has_pad = ~point_mask.all(axis=2)
+                pooled = jnp.where(
+                    has_pad[..., None],
+                    jnp.maximum(pooled, self._pad_floor(x.dtype)),
+                    pooled)
         else:  # avg
             cnt = jnp.maximum(point_mask.sum(axis=2), 1)[..., None]
             pooled = jnp.where(point_mask[..., None], x, 0.0).sum(2) / cnt
@@ -90,6 +110,13 @@ class PFNLayer(nn.Module):
         if self.mode != "max" and num_points is not None:
             pooled = pooled / jnp.maximum(num_points, 1).astype(
                 pooled.dtype)[:, None]
+        if self.pad_pool_parity and not train and self.last_layer and \
+                self.mode == "max" and num_points is not None:
+            has_pad = num_points < cap
+            pooled = jnp.where(
+                has_pad[:, None],
+                jnp.maximum(pooled, self._pad_floor(x.dtype)),
+                pooled)
         if self.last_layer:
             return pooled
         idx = jnp.minimum(voxel_idx, num_segments - 1)
@@ -119,12 +146,17 @@ class PillarFeatureNet(nn.Module):
     # bf16 PFN compute (decorations stay fp32 — voxel/cluster geometry
     # needs the mantissa; the linear/BN/pool traffic halves)
     compute_dtype: Any = None
+    # eval-time padded-slot max-pool parity with the reference (see
+    # PFNLayer.pad_pool_parity)
+    pad_pool_parity: bool = True
 
     def setup(self):
         self.pfn_layers = [
             PFNLayer(ch, norm_cfg=self.norm_cfg,
                      last_layer=(i == len(self.feat_channels) - 1),
-                     mode=self.mode, name=f"pfn_{i}")
+                     mode=self.mode,
+                     pad_pool_parity=self.pad_pool_parity,
+                     name=f"pfn_{i}")
             for i, ch in enumerate(self.feat_channels)]
 
     def __call__(self, voxels, num_points, coords, voxel_mask,
@@ -156,6 +188,16 @@ class PillarFeatureNet(nn.Module):
             f_center = jnp.stack(
                 [feats[..., 0] - cx[:, :, None],
                  feats[..., 1] - cy[:, :, None]], axis=-1)
+            if self.legacy:
+                # reference legacy mode mutates the raw block IN PLACE
+                # (``f_center = features[:, :, :2]`` then in-place
+                # subtraction, pillar_encoder.py:138-144): block 0's xy
+                # ARE the center offsets, and with_distance below sees
+                # the mutated values — checkpoint weights are trained
+                # against this layout
+                feats = jnp.concatenate([f_center, feats[..., 2:]],
+                                        axis=-1)
+                decorations[0] = feats
             decorations.append(f_center)
         if self.with_distance:
             decorations.append(
@@ -221,8 +263,15 @@ class PillarFeatureNet(nn.Module):
             cxy = coords[idx]
             cx = cxy[:, 2].astype(feats.dtype) * vx + x_off
             cy = cxy[:, 1].astype(feats.dtype) * vy + y_off
-            decorations.append(jnp.stack(
-                [feats[:, 0] - cx, feats[:, 1] - cy], axis=-1))
+            f_center = jnp.stack(
+                [feats[:, 0] - cx, feats[:, 1] - cy], axis=-1)
+            if self.legacy:
+                # see the dense path: reference legacy mode replaces the
+                # raw block's xy with the center offsets in place
+                feats = jnp.concatenate([f_center, feats[:, 2:]],
+                                        axis=-1)
+                decorations[0] = feats
+            decorations.append(f_center)
         if self.with_distance:
             decorations.append(
                 jnp.linalg.norm(feats[:, :3], axis=-1, keepdims=True))

@@ -170,10 +170,18 @@ def _attn_all_levels(value, spatial_shapes, loc, weight):
 
 
 # peak gather temp is [B*M*Qc*P, C] per corner; cap the row count so the
-# (8,128)-tile padded buffers stay ~100 MB even at BEVFormer-SCA sizes
+# (8,128)-tile padded buffers stay small even at BEVFormer-SCA sizes
 # (B*Q*M*P can reach 10M rows at bev 200x200 — unchunked, those temps
-# OOM a 16 GB chip in the backward)
-_MAX_GATHER_ROWS = 1 << 20
+# OOM a 16 GB chip in the backward).  At head_dim=32 the lane padding
+# is 4x, so each corner's backward scatter payload is rows*128*4 B of
+# fp32: 2^18 rows -> ~80 MB per corner (~0.7 GB live in the while
+# body), measured to fit the FULL-SIZE BEVFormer distill step beside
+# the rest of the graph on one 16 GB v5e.  Chunks stay large enough
+# that the gather/MXU work amortizes the loop overhead.  Override with
+# DISTILLBEV_ATTN_MAX_GATHER_ROWS (log2 values make sense: 17-20).
+import os as _os
+_MAX_GATHER_ROWS = int(_os.environ.get(
+    "DISTILLBEV_ATTN_MAX_GATHER_ROWS", 1 << 18))
 
 
 def _chunk_qaxis(arrs, q, n_chunks):

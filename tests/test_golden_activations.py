@@ -332,3 +332,110 @@ def test_centerhead_golden_activations(rng):
             np.testing.assert_allclose(
                 t_pred[key].numpy(), nchw(j_pred[key]), rtol=1e-4,
                 atol=5e-4, err_msg=key)
+
+
+# ---- PillarFeatureNet (hard pillars) --------------------------------
+
+class TorchPillarFeatureNet(nn.Module):
+    """mmdet3d PillarFeatureNet + PFNLayer in plain torch
+    (pillar_encoder.py:14-160, utils.py PFNLayer:107-180), INCLUDING the
+    two legacy quirks checkpoint weights are trained against:
+    - legacy in-place center offsets: ``f_center = features[:, :, :2]``
+      mutates the raw block, so block 0's xy ARE the offsets;
+    - the PFN max-pool runs over all P slots with no re-mask, so padded
+      slots contribute relu(BN(0)).
+    """
+
+    def __init__(self, in_channels=4, out_channels=64,
+                 voxel_size=(0.2, 0.2, 8),
+                 pcr=(-51.2, -51.2, -5, 51.2, 51.2, 3)):
+        super().__init__()
+        feat_in = in_channels + 3 + 2      # cluster + center decorations
+        self.linear = nn.Linear(feat_in, out_channels, bias=False)
+        self.norm = nn.BatchNorm1d(out_channels, eps=1e-3, momentum=0.01)
+        self.vx, self.vy = voxel_size[0], voxel_size[1]
+        self.x_offset = self.vx / 2 + pcr[0]
+        self.y_offset = self.vy / 2 + pcr[1]
+
+    def forward(self, features, num_points, coors):
+        # decorations (legacy mode): cluster from pre-mutation xyz,
+        # then the in-place center mutation
+        ls = [features]
+        mean = features[:, :, :3].sum(1, keepdim=True) / \
+            num_points.type_as(features).view(-1, 1, 1)
+        ls.append(features[:, :, :3] - mean)
+        f_center = features[:, :, :2]
+        f_center[:, :, 0] = f_center[:, :, 0] - (
+            coors[:, 2].type_as(features).unsqueeze(1) * self.vx +
+            self.x_offset)
+        f_center[:, :, 1] = f_center[:, :, 1] - (
+            coors[:, 1].type_as(features).unsqueeze(1) * self.vy +
+            self.y_offset)
+        ls.append(f_center)
+        x = torch.cat(ls, dim=-1)
+        count = x.shape[1]
+        mask = (torch.arange(count).view(1, -1) <
+                num_points.view(-1, 1)).unsqueeze(-1).type_as(x)
+        x = x * mask
+        x = self.linear(x)
+        x = self.norm(x.permute(0, 2, 1).contiguous()).permute(0, 2, 1)
+        x = torch.relu(x)
+        return torch.max(x, dim=1)[0]       # NO re-mask (the quirk)
+
+
+def test_pillar_feature_net_golden_activations(rng):
+    from distillbev_tpu.models.voxel_encoders.pillar_encoder import \
+        PillarFeatureNet
+    vsz, pcr = (0.2, 0.2, 8), (-51.2, -51.2, -5, 51.2, 51.2, 3)
+    tm = TorchPillarFeatureNet(voxel_size=vsz, pcr=pcr).eval()
+    randomize_bn(tm)
+
+    n_vox, max_pts = 40, 20
+    num_points = rng.randint(1, max_pts + 1, size=(n_vox,))
+    num_points[0] = max_pts                  # at least one full pillar
+    coords_zyx = np.stack([np.zeros(n_vox, np.int64),
+                           rng.randint(0, 512, n_vox),
+                           rng.randint(0, 512, n_vox)], axis=1)
+    voxels = np.zeros((n_vox, max_pts, 4), np.float32)
+    for i, np_i in enumerate(num_points):
+        pts = rng.randn(np_i, 4).astype(np.float32)
+        pts[:, 0] += coords_zyx[i, 2] * vsz[0] + pcr[0]
+        pts[:, 1] += coords_zyx[i, 1] * vsz[1] + pcr[1]
+        voxels[i, :np_i] = pts
+
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(voxels.copy()),
+                   torch.from_numpy(num_points),
+                   torch.from_numpy(coords_zyx))
+
+    model = PillarFeatureNet(in_channels=4, feat_channels=(64,),
+                             voxel_size=vsz, point_cloud_range=pcr,
+                             norm_cfg=dict(type="BN1d", eps=1e-3,
+                                           momentum=0.01))
+    jv = jnp.asarray(voxels[None])
+    jn = jnp.asarray(num_points[None])
+    jc = jnp.asarray(coords_zyx[None])
+    jm = jnp.ones((1, n_vox), bool)
+    variables = model.init(jax.random.PRNGKey(0), jv, jn, jc, jm)
+    variables = {
+        "params": {"pfn_0": {
+            "linear": {"kernel": jnp.asarray(
+                tm.linear.weight.detach().numpy().T)},
+            "norm": {"scale": jnp.asarray(tm.norm.weight.detach().numpy()),
+                     "bias": jnp.asarray(tm.norm.bias.detach().numpy())}}},
+        "batch_stats": {"pfn_0": {"norm": {
+            "mean": jnp.asarray(tm.norm.running_mean.numpy()),
+            "var": jnp.asarray(tm.norm.running_var.numpy())}}}}
+    j_out = model.apply(variables, jv, jn, jc, jm, train=False)
+    np.testing.assert_allclose(t_out.numpy(), np.asarray(j_out[0]),
+                               rtol=1e-4, atol=1e-5)
+    # the padded-slot floor is actually exercised: some channel of some
+    # padded pillar must sit exactly at relu(BN(0))
+    pad_floor = torch.relu(
+        (torch.zeros(64) - tm.norm.running_mean) /
+        torch.sqrt(tm.norm.running_var + 1e-3) *
+        tm.norm.weight + tm.norm.bias).detach().numpy()
+    padded = num_points < max_pts
+    hits = np.isclose(np.asarray(j_out[0])[padded], pad_floor[None],
+                      atol=1e-6) & (pad_floor[None] > 0)
+    assert hits.any(), "BN(0) floor never active — quirk untested"
