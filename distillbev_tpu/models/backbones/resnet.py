@@ -32,6 +32,46 @@ ARCH_SETTINGS = {
 }
 
 
+class _StemKernel(nn.Module):
+    """Parameter holder so both stem paths share params/stem_conv/kernel
+    (the exact layout nn.Conv would create — checkpoints are oblivious
+    to which stem path runs)."""
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+def _stem_conv(x, kernel, s2d: bool):
+    """7x7/s2 stem conv, optionally as the MLPerf-style space-to-depth
+    rewrite: 2x2 blocks folded into channels (C=3 -> 12) and the 7x7/s2
+    kernel zero-padded to 8x8 and regrouped into a 4x4/s1 conv — exactly
+    the same sums, but a layout the MXU tiles well (C_in=3 convs run at
+    a few percent utilization on TPU)."""
+    dtype = jnp.promote_types(x.dtype, kernel.dtype)
+    x = x.astype(dtype)
+    kernel = kernel.astype(dtype)
+    b, h, w, c = x.shape
+    if not s2d or h % 2 or w % 2:
+        return jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = kernel.shape[-1]
+    # x[2i+dy, 2j+dx, c] -> x2[i, j, dy*2C + dx*C + c]
+    x2 = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(
+        0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    # w8[k] with w8[0]=0, w8[1:]=w7 makes the 7-tap window start at an
+    # even input row (2i-4); tap k = block k//2, sub-row k%2
+    w8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    k2 = w8.reshape(4, 2, 4, 2, c, out).transpose(
+        0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, out)
+    return jax.lax.conv_general_dilated(
+        x2, k2, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 @BACKBONES.register_module()
 class ResNet(nn.Module):
     depth: int = 50
@@ -47,6 +87,7 @@ class ResNet(nn.Module):
     pretrained: Any = None
     base_channels: int = 64
     init_cfg: Any = None
+    stem_s2d: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
@@ -54,10 +95,10 @@ class ResNet(nn.Module):
         block_type, stage_blocks = ARCH_SETTINGS[self.depth]
         stage_blocks = stage_blocks[:self.num_stages]
         norm = make_norm(dict(self.norm_cfg) if self.norm_cfg else None)
-        # stem: 7x7/2 conv + maxpool/2
-        x = nn.Conv(self.base_channels, (7, 7), strides=(2, 2),
-                    padding=((3, 3), (3, 3)), use_bias=False,
-                    name="stem_conv")(x)
+        # stem: 7x7/2 conv + maxpool/2 (space-to-depth rewrite by default)
+        kernel = _StemKernel((7, 7, x.shape[-1], self.base_channels),
+                             name="stem_conv")()
+        x = _stem_conv(x, kernel, self.stem_s2d)
         x = norm(name="stem_bn")(x, use_running_average=not train or
                                  self.norm_eval)
         x = nn.relu(x)

@@ -124,6 +124,28 @@ class TorchResNet50(nn.Module):
         return outs
 
 
+def test_stem_s2d_parity(rng):
+    """The space-to-depth stem rewrite is the same math as the plain
+    7x7/s2 conv (models/backbones/resnet.py:_stem_conv): zero-padded
+    8x8 kernel regrouped over 2x2 pixel blocks."""
+    import jax
+    import jax.numpy as jnp
+    from distillbev_tpu.models.backbones.resnet import _stem_conv
+
+    kernel = jnp.asarray(rng.randn(7, 7, 3, 64).astype(np.float32)) * 0.1
+    for h, w in ((64, 96), (30, 44)):
+        x = jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32))
+        ref = _stem_conv(x, kernel, s2d=False)
+        out = _stem_conv(x, kernel, s2d=True)
+        assert out.shape == ref.shape == (2, h // 2, w // 2, 64)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
+    # odd sizes fall back to the plain conv
+    x = jnp.asarray(rng.randn(1, 31, 45, 3).astype(np.float32))
+    out = _stem_conv(x, kernel, s2d=True)
+    assert out.shape == (1, 16, 23, 64)
+
+
 def test_resnet50_golden_activations(rng):
     from distillbev_tpu.models.backbones.resnet import ResNet
     tm = TorchResNet50(num_stages=2).eval()
