@@ -71,7 +71,8 @@ model = dict(
             encoder=dict(num_layers=6, pc_range=point_cloud_range,
                          num_points_in_pillar=4, embed_dims=_dim_,
                          num_heads=8, feedforward_channels=_ffn_dim_,
-                         num_levels=4, num_cams=6, with_cp=True),
+                         num_levels=4, num_cams=6, with_cp=True,
+                         scan_layers=True),
             decoder=dict(num_layers=6, embed_dims=_dim_, num_heads=8,
                          feedforward_channels=_ffn_dim_,
                          return_intermediate=True)),

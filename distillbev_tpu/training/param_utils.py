@@ -40,6 +40,50 @@ def unflatten_tree(flat: Dict[Tuple[str, ...], Any]):
     return root
 
 
+def stack_layer_params(tree, layers_name: str = "layers"):
+    """Convert every sibling group ``layer_0 .. layer_{L-1}`` into ONE
+    stacked subtree under ``layers_name`` (new leading axis, length L) —
+    the parameter layout an ``nn.scan``-over-layers module creates
+    (transformer/encoder.py scan_layers).  Recursive; non-layer keys are
+    kept.  The inverse of ``unstack_layer_params``."""
+    import jax.numpy as jnp
+    if not isinstance(tree, dict):
+        return tree
+    out = {k: stack_layer_params(v, layers_name) for k, v in tree.items()
+           if not (str(k).startswith("layer_") and
+                   str(k)[len("layer_"):].isdigit())}
+    idx = sorted(int(str(k)[len("layer_"):]) for k in tree
+                 if str(k).startswith("layer_") and
+                 str(k)[len("layer_"):].isdigit())
+    if idx:
+        assert idx == list(range(len(idx))), f"non-contiguous layers {idx}"
+        subs = [stack_layer_params(tree[f"layer_{i}"], layers_name)
+                for i in idx]
+        flats = [flatten_tree(s) for s in subs]
+        out[layers_name] = unflatten_tree({
+            p: jnp.stack([jnp.asarray(f[p]) for f in flats])
+            for p in flats[0]})
+    return out
+
+
+def unstack_layer_params(tree, layers_name: str = "layers"):
+    """Inverse of ``stack_layer_params``: split every ``layers_name``
+    subtree (leading axis L on all leaves) into ``layer_0..layer_{L-1}``."""
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+    for k, v in tree.items():
+        if k == layers_name and isinstance(v, dict):
+            flat = flatten_tree(v)
+            n = int(np.shape(next(iter(flat.values())))[0])
+            for i in range(n):
+                out[f"layer_{i}"] = unflatten_tree(
+                    {p: a[i] for p, a in flat.items()})
+        else:
+            out[k] = unstack_layer_params(v, layers_name)
+    return out
+
+
 def inherit_head_params(student_params: Dict, teacher_params: Dict,
                         head_key: str = "bbox_head",
                         verbose: bool = False) -> Dict:
@@ -170,45 +214,76 @@ def map_params(torch_flat: Dict[str, np.ndarray],
             missing.append(tname)
             continue
         raw = np.asarray(torch_flat[tname])
+        row = None
         if path not in out:
-            missing.append("/".join(path))
-            continue
-        dst = np.shape(out[path])
-        if raw.ndim == 4 and len(dst) == 4 and \
-                any("deconv" in str(p) for p in path[-2:]):
-            # torch ConvTranspose2d (in, out, kh, kw) -> flax
-            # ConvTranspose (kh, kw, in, out), SPATIALLY FLIPPED:
-            # torch's transposed conv is the conv gradient (places
-            # w[ky,kx] at output offset (ky,kx)); lax.conv_transpose
-            # applies the kernel unflipped (golden-activation test
-            # tests/test_golden_activations.py pins this)
-            arr = raw.transpose(2, 3, 0, 1)[::-1, ::-1].copy()
-        else:
-            arr = convert_tensor(tname, raw)
-        if arr.shape != dst:
-            # layout fallbacks, in safety order:
-            # 1. raw exact — embeddings / tensors already in our layout
-            #    (torch nn.Embedding [N, E] must NOT be transposed);
-            # 2. raw 5-D -> 3-D reshape — spconv weights are stored
-            #    (kd, kh, kw, in, out), ours are (K, in, out);
-            # 3. cross-rank reshape of the converted tensor — torch MHA
-            #    in_proj/out_proj 2-D [out, in] -> flax DenseGeneral
-            #    (in, heads, head_dim) / (heads, head_dim, out) after
-            #    the standard transpose.  Same-rank mismatches stay
-            #    errors (a silent reshape would scramble layouts).
-            if raw.shape == dst:
-                arr = raw
-            elif raw.ndim == 5 and len(dst) == 3 and \
-                    raw.size == int(np.prod(dst)):
-                arr = raw.reshape(dst)
-            elif arr.ndim != len(dst) and \
-                    arr.size == int(np.prod(dst)):
-                arr = arr.reshape(dst)
-            else:
-                mismatched.append((tname, arr.shape, dst))
+            # nn.scan'd layer stacks: a per-layer torch name targets row
+            # i of the stacked layers/... leaf (stack_layer_params
+            # layout, transformer/encoder.py scan_layers)
+            spath, row = _scanned_path(path)
+            if spath is None or spath not in out:
+                missing.append("/".join(path))
                 continue
-        out[path] = arr
+            path = spath
+        dst = np.shape(out[path])
+        if row is not None:
+            dst = dst[1:]
+        arr = _fit_tensor(tname, raw, path, dst)
+        if arr is None:
+            mismatched.append((tname, raw.shape, dst))
+            continue
+        if row is not None:
+            buf = np.array(out[path])
+            buf[row] = arr
+            out[path] = buf
+        else:
+            out[path] = arr
     return unflatten_tree(out), missing, mismatched
+
+
+def _scanned_path(path: Tuple[str, ...]):
+    """('...', 'layer_3', '...') -> (('...', 'layers', '...'), 3)."""
+    for j, seg in enumerate(path):
+        s = str(seg)
+        if s.startswith("layer_") and s[len("layer_"):].isdigit():
+            return path[:j] + ("layers",) + path[j + 1:], \
+                int(s[len("layer_"):])
+    return None, None
+
+
+def _fit_tensor(tname: str, raw: np.ndarray, path: Tuple[str, ...], dst):
+    """Layout-convert ``raw`` to destination shape ``dst`` or None."""
+    if raw.ndim == 4 and len(dst) == 4 and \
+            any("deconv" in str(p) for p in path[-2:]):
+        # torch ConvTranspose2d (in, out, kh, kw) -> flax
+        # ConvTranspose (kh, kw, in, out), SPATIALLY FLIPPED:
+        # torch's transposed conv is the conv gradient (places
+        # w[ky,kx] at output offset (ky,kx)); lax.conv_transpose
+        # applies the kernel unflipped (golden-activation test
+        # tests/test_golden_activations.py pins this)
+        arr = raw.transpose(2, 3, 0, 1)[::-1, ::-1].copy()
+    else:
+        arr = convert_tensor(tname, raw)
+    if arr.shape != tuple(dst):
+        # layout fallbacks, in safety order:
+        # 1. raw exact — embeddings / tensors already in our layout
+        #    (torch nn.Embedding [N, E] must NOT be transposed);
+        # 2. raw 5-D -> 3-D reshape — spconv weights are stored
+        #    (kd, kh, kw, in, out), ours are (K, in, out);
+        # 3. cross-rank reshape of the converted tensor — torch MHA
+        #    in_proj/out_proj 2-D [out, in] -> flax DenseGeneral
+        #    (in, heads, head_dim) / (heads, head_dim, out) after
+        #    the standard transpose.  Same-rank mismatches stay
+        #    errors (a silent reshape would scramble layouts).
+        if raw.shape == tuple(dst):
+            arr = raw
+        elif raw.ndim == 5 and len(dst) == 3 and \
+                raw.size == int(np.prod(dst)):
+            arr = raw.reshape(dst)
+        elif arr.ndim != len(dst) and arr.size == int(np.prod(dst)):
+            arr = arr.reshape(dst)
+        else:
+            return None
+    return arr
 
 
 def bn_name_map(torch_prefix: str, flax_path: Tuple[str, ...],

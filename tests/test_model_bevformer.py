@@ -264,6 +264,78 @@ def test_encoder_with_cp_matches(rng):
         assert np.allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
 
 
+def test_encoder_scan_layers_matches(rng):
+    """scan_layers (nn.scan over ONE stacked layer) is the same math as
+    the unrolled loop: identical outputs and grads once the per-layer
+    params are stacked (training.param_utils.stack_layer_params)."""
+    import jax
+    import jax.numpy as jnp
+    from distillbev_tpu.models.transformer.encoder import BEVFormerEncoder
+    from distillbev_tpu.training.param_utils import stack_layer_params
+
+    bev_h = bev_w = 8
+    b, ncam, c = 1, 2, 32
+    sshapes = ((4, 11),)
+    val = jnp.asarray(rng.randn(b, ncam, 44, c).astype(np.float32))
+    q = jnp.asarray(rng.randn(b, bev_h * bev_w, c).astype(np.float32))
+    l2i = jnp.tile(jnp.eye(4), (b, ncam, 1, 1)).astype(jnp.float32)
+
+    def enc_of(scan, with_cp=False):
+        return BEVFormerEncoder(
+            num_layers=2, pc_range=[-8, -8, -3, 8, 8, 3], embed_dims=c,
+            num_heads=4, feedforward_channels=64, num_levels=1,
+            num_cams=ncam, dropout=0.0, scan_layers=scan,
+            with_cp=with_cp)
+
+    enc0 = enc_of(False)
+    v0 = enc0.init(jax.random.PRNGKey(0), q, val, bev_h, bev_w,
+                   lidar2img=l2i, img_shape=(64, 176),
+                   spatial_shapes=sshapes, train=False)
+    v1 = {"params": stack_layer_params(v0["params"])}
+    # stacked leaves carry a leading [L] axis
+    leaf = v1["params"]["layers"]["tsa"]["sampling_offsets"]["kernel"]
+    assert leaf.shape[0] == 2
+
+    def loss(enc, v):
+        out = enc.apply(v, q, val, bev_h, bev_w, lidar2img=l2i,
+                        img_shape=(64, 176), spatial_shapes=sshapes,
+                        train=True,
+                        rngs={"dropout": jax.random.PRNGKey(1)})
+        return (out ** 2).sum()
+
+    for with_cp in (False, True):
+        enc1 = enc_of(True, with_cp=with_cp)
+        l0, g0 = jax.value_and_grad(lambda v: loss(enc0, v))(v0)
+        l1, g1 = jax.value_and_grad(lambda v: loss(enc1, v))(v1)
+        assert np.allclose(float(l0), float(l1), rtol=1e-5)
+        g0s = stack_layer_params(g0["params"])
+        for a, b_ in zip(jax.tree_util.tree_leaves(g0s),
+                         jax.tree_util.tree_leaves(g1["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-4)
+
+
+def test_map_params_into_scanned_layers():
+    """The torch converter's per-layer names land in row i of a stacked
+    layers/... leaf (param_utils._scanned_path routing)."""
+    import numpy as np
+    from distillbev_tpu.training.param_utils import map_params
+
+    target = {"encoder": {"layers": {"fc": {
+        "kernel": np.zeros((3, 4, 5), np.float32)}}}}
+    nm = {f"enc.layers.{i}.fc.weight":
+          ("encoder", f"layer_{i}", "fc", "kernel") for i in range(3)}
+    torch_flat = {f"enc.layers.{i}.fc.weight":
+                  np.full((5, 4), float(i + 1), np.float32)
+                  for i in range(3)}
+    out, missing, mismatched = map_params(torch_flat, nm, target)
+    assert not missing and not mismatched
+    got = out["encoder"]["layers"]["fc"]["kernel"]
+    for i in range(3):
+        np.testing.assert_array_equal(got[i],
+                                      np.full((4, 5), float(i + 1)))
+
+
 class TestGridMask:
     """Rotated-mask parity (reference grid_mask.py:107-111: integer
     degree angle in [0, rotate); the shipped recipe rotate=1 never
