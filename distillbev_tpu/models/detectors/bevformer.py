@@ -126,7 +126,11 @@ class BEVFormer(nn.Module):
         bev_hw = int(head_cfg.get("bev_h", 200)) * int(
             head_cfg.get("bev_w", 200))
         embed = int(head_cfg.get("embed_dims", 256))
-        init_bev = jnp.zeros((b, bev_hw, embed), jnp.float32)
+        # carry in the compute dtype: a fp32 history BEV would promote
+        # the final frame's whole encoder under bf16 mixed precision
+        carry_dt = imgs_queue.dtype if jnp.issubdtype(
+            imgs_queue.dtype, jnp.floating) else jnp.float32
+        init_bev = jnp.zeros((b, bev_hw, embed), carry_dt)
         # frame 0 never has history inside the queue (union2one also
         # zeroes its can-bus delta), later frames follow prev_exists
         valid = prev_exists * jnp.asarray(
@@ -137,7 +141,7 @@ class BEVFormer(nn.Module):
             bev = mdl._frame_bev(imgs, can_bus, l2i,
                                  jax.lax.stop_gradient(prev_bev),
                                  prev_valid=v, train=False)
-            return bev.astype(jnp.float32), None
+            return bev.astype(carry_dt), None
 
         scan = nn.scan(body,
                        variable_broadcast=["params", "batch_stats"],

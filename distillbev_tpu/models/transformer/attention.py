@@ -148,23 +148,31 @@ class SpatialCrossAttention(nn.Module):
                                                   "num_points")})
 
         hits = bev_mask.sum(-1)                      # [N_cam, B, Q]
-        slots = jnp.zeros_like(query)
-        # per camera: select top-K queries by hit count (static budget)
-        for cam in range(n_cam):
-            score = hits[cam]                        # [B, Q]
-            _, idx = jax.lax.top_k(score, k)         # [B, K]
-            sel_q = jnp.take_along_axis(query, idx[..., None], axis=1)
-            ref = reference_points_cam[cam]          # [B, Q, D, 2]
-            sel_ref = jnp.take_along_axis(
-                ref, idx[..., None, None], axis=1)
-            out = da(sel_q, value[:, cam], sel_ref, spatial_shapes,
-                     train=train)                    # [B, K, C]
-            has_hit = jnp.take_along_axis(score, idx, axis=1) > 0
-            out = jnp.where(has_hit[..., None], out, 0.0)
-            slots = jax.vmap(
-                lambda s, i, o: s.at[i].add(o))(slots, idx, out)
+        # all cameras in ONE attention call (cams fold into batch):
+        # 6x fewer op instances per layer than a python camera loop —
+        # smaller HLO and bigger fusions on the chunked sampling core
+        _, idx = jax.lax.top_k(hits, k)              # [N_cam, B, K]
+        sel_q = jnp.take_along_axis(
+            query[None], idx[..., None], axis=2)     # [N, B, K, C]
+        sel_ref = jnp.take_along_axis(
+            reference_points_cam, idx[..., None, None], axis=2)
+        nb = n_cam * bsz
+        out = da(sel_q.reshape(nb, k, c),
+                 value.transpose(1, 0, 2, 3).reshape(
+                     nb, value.shape[2], c),
+                 sel_ref.reshape(nb, k, d, 2), spatial_shapes,
+                 train=train).reshape(n_cam, bsz, k, c)
+        has_hit = jnp.take_along_axis(hits, idx, axis=2) > 0
+        out = jnp.where(has_hit[..., None], out, 0.0)
+        # one scatter per sample row: cams concat into the update axis
+        idx_b = idx.transpose(1, 0, 2).reshape(bsz, n_cam * k)
+        out_b = out.transpose(1, 0, 2, 3).reshape(bsz, n_cam * k, c)
+        slots = jax.vmap(lambda i, o: jnp.zeros(
+            (q, c), out_b.dtype).at[i].add(o))(idx_b, out_b)
 
-        count = (hits > 0).astype(jnp.float32).transpose(1, 2, 0).sum(-1)
+        # hit-count normalization in the slot dtype (fp32 counts would
+        # promote the [B, Q, C] stream under bf16 mixed precision)
+        count = (hits > 0).astype(slots.dtype).transpose(1, 2, 0).sum(-1)
         slots = slots / jnp.maximum(count, 1.0)[..., None]
         slots = nn.Dense(self.embed_dims, name="output_proj")(slots)
         if train and self.dropout > 0:

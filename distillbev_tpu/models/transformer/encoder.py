@@ -98,7 +98,9 @@ class BEVFormerLayer(nn.Module):
         tsa_value = None
         tsa_ref = ref_2d
         if prev_bev is not None:
-            pb = prev_bev
+            # query dtype rules the TSA stack (a fp32 prev_bev would
+            # promote the whole encoder under bf16 mixed precision)
+            pb = prev_bev.astype(query.dtype)
             if prev_valid is not None:
                 # per-sample "no history" -> reference prev_bev=None
                 # semantics (TSA attends to the current query in both

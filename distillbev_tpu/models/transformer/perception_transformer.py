@@ -101,7 +101,14 @@ class PerceptionTransformer(nn.Module):
             rot_angle = can_bus[:, -1]
             pb = prev_bev.reshape(bsz, bev_h, bev_w, -1)
             pb = rotate_bev(pb, rot_angle)
-            prev_bev = pb.reshape(bsz, bev_h * bev_w, -1)
+            # back to the query compute dtype — a fp32 prev_bev (the
+            # rotation grid-samples in fp32) would promote the TSA
+            # [2B, Q, C] stack and cascade the WHOLE encoder to fp32
+            # under bf16 mixed precision
+            prev_bev = pb.reshape(bsz, bev_h * bev_w, -1).astype(
+                bev_query.dtype)
+        elif prev_bev is not None:
+            prev_bev = prev_bev.astype(bev_query.dtype)
 
         if self.use_can_bus and can_bus is not None:
             cb = nn.Dense(self.embed_dims // 2, name="can_bus_fc1")(
@@ -110,7 +117,8 @@ class PerceptionTransformer(nn.Module):
             cb = nn.Dense(self.embed_dims, name="can_bus_fc2")(cb)
             cb = nn.relu(cb)
             cb = nn.LayerNorm(name="can_bus_norm")(cb)
-            bev_query = bev_query + cb[:, None, :]
+            # can_bus is fp32 signal data; don't let it promote the query
+            bev_query = bev_query + cb[:, None, :].astype(bev_query.dtype)
 
         # flatten levels + add cam/level embeddings (reference :157-176)
         cams_embeds = self.param(
@@ -131,6 +139,8 @@ class PerceptionTransformer(nn.Module):
         value = jnp.concatenate(flat, axis=2)     # [B, N, sum(HW), C]
 
         encoder = self._build_encoder()
+        if bev_pos is not None:
+            bev_pos = bev_pos.astype(bev_query.dtype)
         bev_embed = encoder(
             bev_query, value, bev_h, bev_w, bev_pos=bev_pos,
             prev_bev=prev_bev, lidar2img=lidar2img, img_shape=img_shape,

@@ -19,7 +19,9 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 
-def main():
+def setup():
+    """Build the full-size distill step -> (step_fn, state, tvars, batch).
+    Shared by this bench and profile_step.py's PROFILE_MODEL=bevformer."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -124,7 +126,16 @@ def main():
         step_fn = jax.jit(make_bevformer_distill_train_step(
             student, teacher, tx, head_cfg["bev_h"], head_cfg["bev_w"],
             mixed_precision=True), donate_argnums=(0,))
+    return step_fn, state, tvars, batch
 
+
+def main():
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+    step_fn, state, tvars, batch = setup()
+    split = os.environ.get("BF_SPLIT", "1") == "1"
     print(f"compiling full step (split={split})...", flush=True)
     t0 = time.perf_counter()
     state, metrics = step_fn(state, tvars, batch, jnp.float32(1.0))

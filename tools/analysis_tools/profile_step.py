@@ -85,6 +85,24 @@ def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/xprof_step"
     import jax
     import jax.numpy as jnp
+
+    if os.environ.get("PROFILE_MODEL", "flagship") == "bevformer":
+        # full-size BEVFormer distill step (bench_bevformer.setup
+        # honors BF_QUEUE/BF_IMG/BF_POINTS)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import bench_bevformer
+        step_fn, state, tvars, batch = bench_bevformer.setup()
+        epoch = jnp.float32(1.0)
+        state, metrics = step_fn(state, tvars, batch, epoch)
+        float(metrics["total_loss"])
+        n = int(os.environ.get("PROFILE_ITERS", "1"))
+        with jax.profiler.trace(out_dir):
+            for _ in range(n):
+                state, metrics = step_fn(state, tvars, batch, epoch)
+            float(metrics["total_loss"])
+        summarize(collect_hlo_stats(out_dir))
+        return
+
     from distillbev_tpu.apis.flagship import build_flagship
     from distillbev_tpu.training import (init_train_state,
                                          make_distill_train_step)
