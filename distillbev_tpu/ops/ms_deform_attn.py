@@ -8,16 +8,22 @@ self-attention and the DETR decoders).
 
 TPU-native design: the CUDA kernel is a per-thread gather + bilinear
 interpolation + weighted accumulation with a hand-written backward.  Here
-each bilinear sample is ONE windowed (2, 2, C) slice-gather from a
-zero-bordered value grid — the 2x2xC window holds all four corners as two
-C- and 2C-contiguous segments, so the TPU gather walks HALF the rows of a
-per-corner formulation at twice the row width (row-walk time, not bytes,
-bounds these gathers).  The zero border implements the reference kernel's
+the zero-bordered value grid is stored ROW-DUPLICATED ("superrows"):
+``grid2[y, x] = concat(grid[y, x], grid[y+1, x])`` — so the full 2x2
+bilinear window of a sample is grid2[y0, x0:x0+2], ONE contiguous
+4C-byte segment.  TPU gathers/scatters are bound by segment count, not
+bytes (measured 59M samples/s on the 2-segment window form); the
+duplicated layout halves gather segments and halves the backward's
+dvalue scatter rows (two 2C-wide supercell rows per sample instead of
+four corner rows), for 2x the duplicated-grid build+fold bandwidth
+(trivial: the grids are ~100 MB/layer at full BEVFormer size,
+~0.25 ms at HBM rate).
+The zero border implements the reference kernel's
 out-of-range-corners-are-zero semantics without per-corner masks; fully
 out-of-window samples are masked in the (tiny) lerp weights.  The lerp +
 (levels x points) contraction fuses on the VPU/MXU.  The hand-written
-backward recomputes the windows and emits dvalue as ONE windowed
-scatter-add per level (vs four chained full-buffer scatters).
+backward recomputes the windows and accumulates dvalue in the
+duplicated layout, folding the two phases at the end.
 """
 from __future__ import annotations
 
@@ -29,15 +35,19 @@ import jax.numpy as jnp
 
 
 def _pad_level_grid(value: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """[B, h*w, M, C] one level -> [B, M, h+2, w+2, C] zero-bordered."""
+    """[B, h*w, M, C] one level -> [B, M, h+1, w+2, 2, C] zero-bordered
+    row-duplicated superrow grid: out[..., y, x, j, c] = padded[y+j, x, c]
+    where padded is the (h+2, w+2) zero-bordered grid.  Window origins
+    y0 lie in [0, h], so superrow y0 holds exactly rows (y0, y0+1)."""
     bsz, hw, m, c = value.shape
     v = value.reshape(bsz, h, w, m, c).transpose(0, 3, 1, 2, 4)
-    return jnp.pad(v, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    pv = jnp.pad(v, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    return jnp.stack([pv[:, :, :-1], pv[:, :, 1:]], axis=-2)
 
 
 def _split_levels(value: jnp.ndarray,
                   spatial_shapes) -> List[jnp.ndarray]:
-    """[B, sum(HW), M, C] -> per-level zero-bordered grids."""
+    """[B, sum(HW), M, C] -> per-level zero-bordered superrow grids."""
     out, offset = [], 0
     for h, w in spatial_shapes:
         v = jax.lax.dynamic_slice_in_dim(value, offset, h * w, axis=1)
@@ -73,21 +83,23 @@ def _window_coords(loc_xy, h: int, w: int, dt):
 
 
 _GATHER_DNUMS = jax.lax.GatherDimensionNumbers(
-    offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+    offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
     start_index_map=(0, 1))
 
 
 def _window_gather(vt: jnp.ndarray, y0i, x0i) -> jnp.ndarray:
-    """vt [B, M, H2, W2, C]; y0i/x0i [B, Q, M, P] padded-grid window
-    origins -> [B, Q, M, P, 2, 2, C] bilinear windows."""
-    b, m, h2, w2, c = vt.shape
+    """vt [B, M, H1, W2, 2, C] superrow grid; y0i/x0i [B, Q, M, P]
+    window origins -> [B, Q, M, P, 2, 2, C] bilinear windows indexed
+    [..., i (x), j (y), c] — note x-major corner order (the superrow
+    slice grid2[y0, x0:x0+2] is ONE contiguous 4C segment)."""
+    b, m, h1, w2, _, c = vt.shape
     q, p = y0i.shape[1], y0i.shape[3]
     idx = jnp.stack([y0i, x0i], -1)                   # [B,Q,M,P,2]
     idx = idx.transpose(0, 2, 1, 3, 4).reshape(b, m, q * p, 2)
 
     def g2(op, ind):
         return jax.lax.gather(op, ind, _GATHER_DNUMS,
-                              slice_sizes=(2, 2, c), mode="clip")
+                              slice_sizes=(1, 2, 2, c), mode="clip")
 
     win = jax.vmap(jax.vmap(g2))(vt, idx)             # [B,M,QP,2,2,C]
     return win.reshape(b, m, q, p, 2, 2, c).transpose(
@@ -111,46 +123,50 @@ def _bilinear_sample(vt: jnp.ndarray, loc_xy: jnp.ndarray,
     # precision that doubles the largest attention temps in HBM
     y0i, x0i, (w00, w01, w10, w11), _ = _window_coords(
         loc_xy, h, w, vt.dtype)
-    win = _window_gather(vt, y0i, x0i)
+    win = _window_gather(vt, y0i, x0i)      # [..., i (x), j (y), c]
     return (win[..., 0, 0, :] * w00[..., None] +
-            win[..., 0, 1, :] * w01[..., None] +
-            win[..., 1, 0, :] * w10[..., None] +
+            win[..., 1, 0, :] * w01[..., None] +
+            win[..., 0, 1, :] * w10[..., None] +
             win[..., 1, 1, :] * w11[..., None])
 
 
 def _bilinear_sample_grads(vt, loc_xy, wgt, dout, h, w, base: int):
     """Hand-derived backward of (bilinear sample x attention weight)
-    for one level: returns (dloc_xy, dwgt, gidx, rows).
+    for one level: returns (dloc_xy, dwgt, gidx, updates).
 
-    vt [B,M,h+2,w+2,C]; loc_xy [B,Q,M,P,2]; wgt [B,Q,M,P];
-    dout [B,Q,M,C].  Mirrors the reference CUDA backward
+    vt [B,M,h+1,w+2,2,C] superrow grid; loc_xy [B,Q,M,P,2];
+    wgt [B,Q,M,P]; dout [B,Q,M,C].  Mirrors the reference CUDA backward
     (multi_scale_deformable_attn_function.py / ms_deform_attn_backward):
     everything is recomputed here, nothing saved from the forward.
 
     Instead of scattering dvalue here, returns the scatter payload —
-    ``gidx`` [B,Q,M,P,4] GLOBAL flat padded-grid cell ids (this level's
-    cells live at [base, base + B*M*(h+2)*(w+2))) and ``rows``
-    [B,Q,M,P,4,C] corner contributions — so the caller can emit ONE
-    scatter-add per chunk across all levels and corners (XLA lowers
-    each scatter op as a serial pass over the whole target, so fewer,
-    bigger scatters win; measured 4-5x on the chained-per-corner form).
+    ``gidx`` [B,Q,M,P,2] LOCAL superrow-grid supercell ids (this
+    level's supercells live at [base, base + (h+1)*(w+2)) within each
+    (b, m) group) and ``updates`` [B,Q,M,P,2,2C] per-supercell
+    contributions ((j, c)-minor — the duplicated layout's memory
+    order) — so the caller can emit single-ROW scatter-adds of width
+    2C: two rows per sample instead of the four corner rows of the
+    plain layout (XLA's fast scatter path is row-count bound and only
+    handles rank-1 row updates; a true (2, 2C) windowed scatter
+    measured 27x slower on v5e).
     """
     dt = vt.dtype
-    b, m, h2, w2, c = vt.shape
+    b, m, h1, w2, _, c = vt.shape
     y0i, x0i, (w00, w01, w10, w11), (lx, ly, ok) = _window_coords(
         loc_xy, h, w, dt)
-    win = _window_gather(vt, y0i, x0i)              # [B,Q,M,P,2,2,C]
+    win = _window_gather(vt, y0i, x0i)      # [B,Q,M,P,2(i),2(j),C]
 
-    # dout contracted with each corner: g_ij[bqmp] = <dout_bqm, v_ij>.
+    # dout contracted with each corner: g[bqmp, i, j] = <dout, v_ij>.
     # The channel reduction accumulates in fp32 (like the forward's
     # preferred_element_type) so bf16 inputs don't degrade dloc/dwgt.
     gdot = jnp.einsum("bqmc,bqmpijc->bqmpij", dout, win,
                       preferred_element_type=jnp.float32)
-    g00, g01 = gdot[..., 0, 0], gdot[..., 0, 1]
-    g10, g11 = gdot[..., 1, 0], gdot[..., 1, 1]
+    g00, g01 = gdot[..., 0, 0], gdot[..., 1, 0]   # (y0,x0), (y0,x0+1)
+    g10, g11 = gdot[..., 0, 1], gdot[..., 1, 1]   # (y0+1,x0), +1,+1
 
-    ws = jnp.stack([jnp.stack([w00, w01], -1),
-                    jnp.stack([w10, w11], -1)], -2)  # [B,Q,M,P,2,2]
+    # ws[..., i, j] = lerp weight of corner (y0+j, x0+i)
+    ws = jnp.stack([jnp.stack([w00, w10], -1),
+                    jnp.stack([w01, w11], -1)], -2)  # [B,Q,M,P,2,2]
     dwgt = jnp.einsum("bqmpij,bqmpij->bqmp", ws.astype(jnp.float32),
                       gdot)
 
@@ -163,24 +179,27 @@ def _bilinear_sample_grads(vt, loc_xy, wgt, dout, h, w, base: int):
         * wgt_f
     dloc = jnp.stack([dx * w, dy * h], axis=-1).astype(loc_xy.dtype)
 
-    # dvalue payload: (w_ij * wgt) * dout per corner.  Cell ids are
-    # LOCAL to each (b, m) group — the caller assembles slab-relative
-    # ids so each scatter's target stays on XLA's fast path.
+    # dvalue payload: (w_ij * wgt) * dout as two 2C-wide supercell rows
+    # per sample in the duplicated layout; the caller folds the two
+    # phases after accumulation.
     r = wgt.astype(dt)[..., None] * dout[:, :, :, None, :]
-    rows = ws.astype(dt).reshape(ws.shape[:4] + (4,))[..., None] * \
-        r[:, :, :, :, None, :]                      # [B,Q,M,P,4,C]
-    cell00 = y0i * w2 + x0i
-    lidx = cell00[..., None] + jnp.asarray(
-        [0, 1, w2, w2 + 1], jnp.int32) + base       # [B,Q,M,P,4]
-    return dloc, dwgt.astype(wgt.dtype), lidx, rows
+    upd = ws.astype(dt)[..., None] * \
+        r[:, :, :, :, None, None, :]                # [B,Q,M,P,2,2,C]
+    upd = upd.reshape(upd.shape[:4] + (2, 2 * c))   # [..., i, (j c)]
+    cell0 = y0i * w2 + x0i + base
+    lidx = jnp.stack([cell0, cell0 + 1], -1)        # [B,Q,M,P,2]
+    return dloc, dwgt.astype(wgt.dtype), lidx, upd
 
 
-def _unpad_level_grid(dvt: jnp.ndarray) -> jnp.ndarray:
-    """[B, M, h+2, w+2, C] padded-grid grads -> [B, h*w, M, C]."""
-    b, m, h2, w2, c = dvt.shape
-    core = dvt[:, :, 1:h2 - 1, 1:w2 - 1]
-    return core.transpose(0, 2, 3, 1, 4).reshape(
-        b, (h2 - 2) * (w2 - 2), m, c)
+def _fold_level_grid(acc: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """[B, M, h+1, w+2, 2, C] superrow-grid grads -> [B, h*w, M, C].
+
+    padded_grad[y] = acc[y, :, 0] + acc[y-1, :, 1]; the core rows are
+    y in [1, h], cols [1, w]."""
+    b, m = acc.shape[0], acc.shape[1]
+    c = acc.shape[-1]
+    core = acc[:, :, 1:h + 1, 1:w + 1, 0] + acc[:, :, 0:h, 1:w + 1, 1]
+    return core.transpose(0, 2, 3, 1, 4).reshape(b, h * w, m, c)
 
 
 def _attn_all_levels(pvals, spatial_shapes, loc, weight):
@@ -274,53 +293,55 @@ def _attn_cvjp_bwd(spatial_shapes, res, g):
     n_chunks = max(1, -(-rows // _MAX_GATHER_ROWS))
     (locs, wgts, gs), qc = _chunk_qaxis([loc, weight, g], q, n_chunks)
     pvals = _split_levels(value, spatial_shapes)
-    # per-(b, m) padded cell count and per-level local offsets
+    # per-(b, m) supercell count and per-level local offsets
     lbases, cells_bm = [], 0
     for h, w in spatial_shapes:
         lbases.append(cells_bm)
-        cells_bm += (h + 2) * (w + 2)
+        cells_bm += (h + 1) * (w + 2)
     bm = bsz * m
     grp = max(1, _MAX_SCATTER_TARGET_ROWS // cells_bm)
     n_slabs = -(-bm // grp)
     slab_bm = [min(grp, bm - s * grp) for s in range(n_slabs)]
-    acc0 = tuple(jnp.zeros((gbm * cells_bm, c), jnp.float32)
+    acc0 = tuple(jnp.zeros((gbm * cells_bm, 2 * c), jnp.float32)
                  for gbm in slab_bm)
 
     def chunk_bwd(dval_acc, args):
         locc, wgtc, gc = args
-        idxs, rows_, dls, dws = [], [], [], []
+        idxs, ups, dls, dws = [], [], [], []
         for lvl, (h, w) in enumerate(spatial_shapes):
-            dl, dw, lidx, rr = _bilinear_sample_grads(
+            dl, dw, lidx, up = _bilinear_sample_grads(
                 pvals[lvl], locc[:, :, :, lvl], wgtc[:, :, :, lvl],
                 gc, h, w, lbases[lvl])
-            # [B, Qc, M, P, 4] -> [B*M, Qc*P*4] bm-major
+            # [B, Qc, M, P, 2] -> [B*M, Qc*P*2] bm-major
             idxs.append(lidx.transpose(0, 2, 1, 3, 4).reshape(bm, -1))
-            rows_.append(rr.transpose(0, 2, 1, 3, 4, 5).reshape(
-                bm, -1, c))
+            ups.append(up.transpose(0, 2, 1, 3, 4, 5).reshape(
+                bm, -1, 2 * c))
             dls.append(dl)
             dws.append(dw)
         idx_bm = jnp.concatenate(idxs, axis=1)
-        row_bm = jnp.concatenate(rows_, axis=1).astype(jnp.float32)
-        # one small-target scatter per slab (stays on XLA's fast path)
+        up_bm = jnp.concatenate(ups, axis=1).astype(jnp.float32)
+        # one small-target row scatter per slab (stays on XLA's fast
+        # path); each sample adds two 2C-wide supercell rows
         new_acc = []
         for s, (acc_s, gbm) in enumerate(zip(dval_acc, slab_bm)):
             i0 = s * grp
             rel = jnp.arange(gbm, dtype=jnp.int32)[:, None] * cells_bm
             idx_s = (idx_bm[i0:i0 + gbm] + rel).reshape(-1)
             new_acc.append(acc_s.at[idx_s].add(
-                row_bm[i0:i0 + gbm].reshape(-1, c)))
+                up_bm[i0:i0 + gbm].reshape(-1, 2 * c)))
         return tuple(new_acc), (jnp.stack(dls, axis=3),
                                 jnp.stack(dws, axis=3))
 
     dval_slabs, (dlocs, dwgts) = jax.lax.scan(chunk_bwd, acc0,
                                               (locs, wgts, gs))
-    dval_bm = jnp.concatenate(dval_slabs).reshape(bsz, m, cells_bm, c)
+    dval_bm = jnp.concatenate(dval_slabs).reshape(
+        bsz, m, cells_bm, 2, c)
     parts = []
     for lvl, (h, w) in enumerate(spatial_shapes):
         grid = dval_bm[:, :, lbases[lvl]:lbases[lvl] +
-                       (h + 2) * (w + 2)].reshape(
-            bsz, m, h + 2, w + 2, c)
-        parts.append(_unpad_level_grid(grid))
+                       (h + 1) * (w + 2)].reshape(
+            bsz, m, h + 1, w + 2, 2, c)
+        parts.append(_fold_level_grid(grid, h, w))
     dval = jnp.concatenate(parts, axis=1)
     dloc = jnp.moveaxis(dlocs, 0, 1).reshape(
         (bsz, n_chunks * qc) + loc.shape[2:])[:, :q]
