@@ -7,23 +7,30 @@ multi_scale_deformable_attn_function.py:1-162 — `_ext.ms_deform_attn_forward`
 self-attention and the DETR decoders).
 
 TPU-native design: the CUDA kernel is a per-thread gather + bilinear
-interpolation + weighted accumulation with a hand-written backward.  Here
-the zero-bordered value grid is stored ROW-DUPLICATED ("superrows"):
-``grid2[y, x] = concat(grid[y, x], grid[y+1, x])`` — so the full 2x2
-bilinear window of a sample is grid2[y0, x0:x0+2], ONE contiguous
-4C-byte segment.  TPU gathers/scatters are bound by segment count, not
-bytes (measured 59M samples/s on the 2-segment window form); the
-duplicated layout halves gather segments and halves the backward's
-dvalue scatter rows (two 2C-wide supercell rows per sample instead of
-four corner rows), for 2x the duplicated-grid build+fold bandwidth
-(trivial: the grids are ~100 MB/layer at full BEVFormer size,
-~0.25 ms at HBM rate).
+interpolation + weighted accumulation with a hand-written backward.
+TPU gathers/scatters are bound by segment/row count, not bytes, so both
+walks use duplicated layouts chosen independently:
+
+* GATHERS read a ROW-DUPLICATED ("superrow") zero-bordered grid —
+  ``grid2[y, x] = concat(grid[y, x], grid[y+1, x])`` — so the full 2x2
+  bilinear window of a sample is grid2[y0, x0:x0+2], ONE contiguous
+  4C-byte segment (one gather row per sample; 2x grid build cost,
+  measured cheaper than the 4x window-duplicated build).
+* The backward's dvalue SCATTER-adds land in a WINDOW-DUPLICATED
+  ("supercell") accumulator of shape [(h+1)*(w+1), 4C] per (b, m):
+  each sample contributes its whole (w_ij*wgt)*dout window as ONE
+  4C-wide row (vs four corner rows in the plain layout / two rows in
+  superrow).  The accumulator starts at zero — the supercell grid is
+  never materialized from the values — and the four phases fold into
+  the plain grid at the end.  (A true multi-row windowed scatter
+  measured 27x slower: XLA's fast scatter path only takes rank-1 rows.)
+
 The zero border implements the reference kernel's
 out-of-range-corners-are-zero semantics without per-corner masks; fully
 out-of-window samples are masked in the (tiny) lerp weights.  The lerp +
 (levels x points) contraction fuses on the VPU/MXU.  The hand-written
-backward recomputes the windows and accumulates dvalue in the
-duplicated layout, folding the two phases at the end.
+backward recomputes the windows (superrow gathers again) and
+accumulates dvalue in the supercell layout.
 """
 from __future__ import annotations
 
@@ -111,7 +118,7 @@ def _bilinear_sample(vt: jnp.ndarray, loc_xy: jnp.ndarray,
     """Bilinear sample with zero padding outside.
 
     Args:
-        vt: [B, M, h+2, w+2, C] one level's zero-bordered grid.
+        vt: [B, M, h+1, w+2, 2, C] one level's superrow grid.
         loc_xy: [B, Q, M, P, 2] normalized sampling locations in [0, 1]
             (align_corners=False pixel convention: x_pix = x*W - 0.5).
 
@@ -134,24 +141,27 @@ def _bilinear_sample_grads(vt, loc_xy, wgt, dout, h, w, base: int):
     """Hand-derived backward of (bilinear sample x attention weight)
     for one level: returns (dloc_xy, dwgt, gidx, updates).
 
-    vt [B,M,h+1,w+2,2,C] superrow grid; loc_xy [B,Q,M,P,2];
-    wgt [B,Q,M,P]; dout [B,Q,M,C].  Mirrors the reference CUDA backward
-    (multi_scale_deformable_attn_function.py / ms_deform_attn_backward):
-    everything is recomputed here, nothing saved from the forward.
+    vt [B,M,h+1,w+2,2,C] superrow grid (gathers only); loc_xy
+    [B,Q,M,P,2]; wgt [B,Q,M,P]; dout [B,Q,M,C].  Mirrors the reference
+    CUDA backward (multi_scale_deformable_attn_function.py /
+    ms_deform_attn_backward): everything is recomputed here, nothing
+    saved from the forward.
 
     Instead of scattering dvalue here, returns the scatter payload —
-    ``gidx`` [B,Q,M,P,2] LOCAL superrow-grid supercell ids (this
-    level's supercells live at [base, base + (h+1)*(w+2)) within each
-    (b, m) group) and ``updates`` [B,Q,M,P,2,2C] per-supercell
-    contributions ((j, c)-minor — the duplicated layout's memory
-    order) — so the caller can emit single-ROW scatter-adds of width
-    2C: two rows per sample instead of the four corner rows of the
-    plain layout (XLA's fast scatter path is row-count bound and only
-    handles rank-1 row updates; a true (2, 2C) windowed scatter
+    ``gidx`` [B,Q,M,P] LOCAL supercell ids (this level's supercells
+    live at [base, base + (h+1)*(w+1)) within each (b, m) group) and
+    ``updates`` [B,Q,M,P,4C] whole-window contributions ((i, j, c)
+    minor-to-major reversed — the duplicated layout's memory order) —
+    so the caller can emit single-ROW scatter-adds of width 4C: ONE
+    row per sample instead of the four corner rows of the plain
+    layout (XLA's fast scatter path is row-count bound and only
+    handles rank-1 row updates; a true multi-row windowed scatter
     measured 27x slower on v5e).
     """
     dt = vt.dtype
-    b, m, h1, w2, _, c = vt.shape
+    b, m = vt.shape[0], vt.shape[1]
+    w1 = w + 1                      # supercell-accumulator row width
+    c = vt.shape[-1]
     y0i, x0i, (w00, w01, w10, w11), (lx, ly, ok) = _window_coords(
         loc_xy, h, w, dt)
     win = _window_gather(vt, y0i, x0i)      # [B,Q,M,P,2(i),2(j),C]
@@ -179,26 +189,28 @@ def _bilinear_sample_grads(vt, loc_xy, wgt, dout, h, w, base: int):
         * wgt_f
     dloc = jnp.stack([dx * w, dy * h], axis=-1).astype(loc_xy.dtype)
 
-    # dvalue payload: (w_ij * wgt) * dout as two 2C-wide supercell rows
-    # per sample in the duplicated layout; the caller folds the two
+    # dvalue payload: (w_ij * wgt) * dout as ONE 4C-wide supercell row
+    # per sample in the duplicated layout; the caller folds the four
     # phases after accumulation.
     r = wgt.astype(dt)[..., None] * dout[:, :, :, None, :]
     upd = ws.astype(dt)[..., None] * \
         r[:, :, :, :, None, None, :]                # [B,Q,M,P,2,2,C]
-    upd = upd.reshape(upd.shape[:4] + (2, 2 * c))   # [..., i, (j c)]
-    cell0 = y0i * w2 + x0i + base
-    lidx = jnp.stack([cell0, cell0 + 1], -1)        # [B,Q,M,P,2]
+    upd = upd.reshape(upd.shape[:4] + (4 * c,))     # [..., (i j c)]
+    lidx = y0i * w1 + x0i + base                    # [B,Q,M,P]
     return dloc, dwgt.astype(wgt.dtype), lidx, upd
 
 
 def _fold_level_grid(acc: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """[B, M, h+1, w+2, 2, C] superrow-grid grads -> [B, h*w, M, C].
+    """[B, M, h+1, w+1, 2, 2, C] supercell-grid grads -> [B, h*w, M, C].
 
-    padded_grad[y] = acc[y, :, 0] + acc[y-1, :, 1]; the core rows are
-    y in [1, h], cols [1, w]."""
+    Supercell (y0, x0) phase (i, j) contributes to padded cell
+    (y0+j, x0+i); the core cells are y in [1, h], x in [1, w]."""
     b, m = acc.shape[0], acc.shape[1]
     c = acc.shape[-1]
-    core = acc[:, :, 1:h + 1, 1:w + 1, 0] + acc[:, :, 0:h, 1:w + 1, 1]
+    core = (acc[:, :, 1:h + 1, 1:w + 1, 0, 0] +
+            acc[:, :, 1:h + 1, 0:w, 1, 0] +
+            acc[:, :, 0:h, 1:w + 1, 0, 1] +
+            acc[:, :, 0:h, 0:w, 1, 1])
     return core.transpose(0, 2, 3, 1, 4).reshape(b, h * w, m, c)
 
 
@@ -297,12 +309,12 @@ def _attn_cvjp_bwd(spatial_shapes, res, g):
     lbases, cells_bm = [], 0
     for h, w in spatial_shapes:
         lbases.append(cells_bm)
-        cells_bm += (h + 1) * (w + 2)
+        cells_bm += (h + 1) * (w + 1)
     bm = bsz * m
     grp = max(1, _MAX_SCATTER_TARGET_ROWS // cells_bm)
     n_slabs = -(-bm // grp)
     slab_bm = [min(grp, bm - s * grp) for s in range(n_slabs)]
-    acc0 = tuple(jnp.zeros((gbm * cells_bm, 2 * c), jnp.float32)
+    acc0 = tuple(jnp.zeros((gbm * cells_bm, 4 * c), jnp.float32)
                  for gbm in slab_bm)
 
     def chunk_bwd(dval_acc, args):
@@ -312,35 +324,35 @@ def _attn_cvjp_bwd(spatial_shapes, res, g):
             dl, dw, lidx, up = _bilinear_sample_grads(
                 pvals[lvl], locc[:, :, :, lvl], wgtc[:, :, :, lvl],
                 gc, h, w, lbases[lvl])
-            # [B, Qc, M, P, 2] -> [B*M, Qc*P*2] bm-major
-            idxs.append(lidx.transpose(0, 2, 1, 3, 4).reshape(bm, -1))
-            ups.append(up.transpose(0, 2, 1, 3, 4, 5).reshape(
-                bm, -1, 2 * c))
+            # [B, Qc, M, P] -> [B*M, Qc*P] bm-major
+            idxs.append(lidx.transpose(0, 2, 1, 3).reshape(bm, -1))
+            ups.append(up.transpose(0, 2, 1, 3, 4).reshape(
+                bm, -1, 4 * c))
             dls.append(dl)
             dws.append(dw)
         idx_bm = jnp.concatenate(idxs, axis=1)
         up_bm = jnp.concatenate(ups, axis=1).astype(jnp.float32)
         # one small-target row scatter per slab (stays on XLA's fast
-        # path); each sample adds two 2C-wide supercell rows
+        # path); each sample adds ONE 4C-wide supercell row
         new_acc = []
         for s, (acc_s, gbm) in enumerate(zip(dval_acc, slab_bm)):
             i0 = s * grp
             rel = jnp.arange(gbm, dtype=jnp.int32)[:, None] * cells_bm
             idx_s = (idx_bm[i0:i0 + gbm] + rel).reshape(-1)
             new_acc.append(acc_s.at[idx_s].add(
-                up_bm[i0:i0 + gbm].reshape(-1, 2 * c)))
+                up_bm[i0:i0 + gbm].reshape(-1, 4 * c)))
         return tuple(new_acc), (jnp.stack(dls, axis=3),
                                 jnp.stack(dws, axis=3))
 
     dval_slabs, (dlocs, dwgts) = jax.lax.scan(chunk_bwd, acc0,
                                               (locs, wgts, gs))
     dval_bm = jnp.concatenate(dval_slabs).reshape(
-        bsz, m, cells_bm, 2, c)
+        bsz, m, cells_bm, 2, 2, c)
     parts = []
     for lvl, (h, w) in enumerate(spatial_shapes):
         grid = dval_bm[:, :, lbases[lvl]:lbases[lvl] +
-                       (h + 1) * (w + 2)].reshape(
-            bsz, m, h + 1, w + 2, 2, c)
+                       (h + 1) * (w + 1)].reshape(
+            bsz, m, h + 1, w + 1, 2, 2, c)
         parts.append(_fold_level_grid(grid, h, w))
     dval = jnp.concatenate(parts, axis=1)
     dloc = jnp.moveaxis(dlocs, 0, 1).reshape(
