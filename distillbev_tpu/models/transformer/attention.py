@@ -14,7 +14,8 @@ TPU-native design:
 * the reference's *dynamic* per-camera rebatching (max_len varies per
   step) becomes a *fixed-budget* top-K selection: each camera processes
   the K BEV queries with the most projected hits (K static, default
-  num_query//2 covers every hit query in practice); results scatter-add
+  0.4*num_query covers every hit query with measured margin on real
+  6-camera geometry — see SpatialCrossAttention); results scatter-add
   back and normalize by per-query hit counts — same math, static shapes;
 * everything is batch-first [B, Q, C].
 """
@@ -108,19 +109,21 @@ class SpatialCrossAttention(nn.Module):
     query hits camera ``i`` iff one of its pillar points projects inside
     that camera's frustum, so the hit set is the wedge of the BEV plane
     inside the camera's horizontal FOV — a fraction FOV/360 of all
-    queries (plus a boundary sliver from the pillar's z-extent).  Any
-    real camera has FOV < 180deg, so ``K = Q // 2`` covers every hit
-    query with margin for every nuScenes camera (strongest case
-    CAM_BACK, ~90deg FOV -> ~25% of queries; the verification test
-    ``test_model_bevformer.py::TestSCACoverage`` measures this against
-    full 6-camera geometry and asserts dense == budgeted outputs).
-    Override ``max_queries_per_cam`` to trade compute for margin.
+    queries (plus a boundary sliver from the pillar's z-extent).  The
+    widest nuScenes camera (CAM_BACK, ~110deg FOV) measures a hit
+    fraction of at most 0.35*Q against full 6-camera geometry
+    (``test_model_bevformer.py::TestSCACoverage``, which also asserts
+    dense == budgeted outputs), so the default ``K = 0.4*Q`` covers
+    every hit query with a 14% margin; BEV-space aug (rotation/flip)
+    permutes the wedge without changing its fraction.  Override
+    ``max_queries_per_cam`` to trade compute for margin (cameras with
+    FOV approaching 180deg need ~Q/2).
     """
     embed_dims: int = 256
     num_cams: int = 6
     dropout: float = 0.1
     deformable_attention: Any = None
-    max_queries_per_cam: Optional[int] = None   # static budget; None=Q//2
+    max_queries_per_cam: Optional[int] = None   # static budget; None=0.4Q
 
     @nn.compact
     def __call__(self, query, value, reference_points_cam, bev_mask,
@@ -135,7 +138,7 @@ class SpatialCrossAttention(nn.Module):
         bsz, q, c = query.shape
         n_cam = value.shape[1]
         d = reference_points_cam.shape[3]
-        k = self.max_queries_per_cam or max(q // 2, 1)
+        k = self.max_queries_per_cam or max(2 * q // 5, 1)
         k = min(k, q)
 
         da_cfg = dict(self.deformable_attention or {})
