@@ -31,6 +31,22 @@ out-of-window samples are masked in the (tiny) lerp weights.  The lerp +
 (levels x points) contraction fuses on the VPU/MXU.  The hand-written
 backward recomputes the windows (superrow gathers again) and
 accumulates dvalue in the supercell layout.
+
+SMALL levels skip the gather/scatter walks entirely: bilinear lerp
+weights are separable (w = wy(y) * wx(x), each factor 2-sparse, and the
+out-of-range mask factorizes per axis), so sampling a level is ONE MXU
+matmul ``lhs[row, cells] @ grid[cells, C]`` where ``lhs`` sums the P
+weighted outer products wy x wx per (query, head) row — the attention
+weights and the P-axis reduction fold into the lhs build.  The
+backward's dvalue is the transposed matmul ``lhs^T @ dout`` — no
+scatter at all.  Measured on v5e at flagship SCA chunk shapes
+(6.3M samples/level/call): dense fwd 16/53 ms vs gather 120/119 ms for
+the (15,25)/(29,50) FPN levels; past ~6k padded cells the matmul's
+rows x cells x C FLOPs overtake the row-count-bound gather and the
+gather path wins (the 200x200 BEV levels of TSA/decoder stay on it).
+Levels with at most _DENSE_MAX_CELLS padded cells take the dense path;
+dloc/dwgt still use the window gathers (they need per-corner dot
+products, which do not factorize).
 """
 from __future__ import annotations
 
@@ -52,13 +68,29 @@ def _pad_level_grid(value: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return jnp.stack([pv[:, :, :-1], pv[:, :, 1:]], axis=-2)
 
 
-def _split_levels(value: jnp.ndarray,
-                  spatial_shapes) -> List[jnp.ndarray]:
-    """[B, sum(HW), M, C] -> per-level zero-bordered superrow grids."""
+def _pad_level_grid_plain(value: jnp.ndarray, h: int,
+                          w: int) -> jnp.ndarray:
+    """[B, h*w, M, C] one level -> [B, M, (h+2)*(w+2), C] zero-bordered
+    PLAIN padded grid (dense-matmul levels; no duplication needed)."""
+    bsz, hw, m, c = value.shape
+    v = value.reshape(bsz, h, w, m, c).transpose(0, 3, 1, 2, 4)
+    pv = jnp.pad(v, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    return pv.reshape(bsz, m, (h + 2) * (w + 2), c)
+
+
+def _split_levels(value: jnp.ndarray, spatial_shapes,
+                  superrow_all: bool = False) -> List[jnp.ndarray]:
+    """[B, sum(HW), M, C] -> per-level zero-bordered grids: superrow for
+    gather levels, plain padded for dense-matmul levels (unless
+    ``superrow_all`` — the backward's dloc/dwgt window gathers need the
+    superrow layout for every level)."""
     out, offset = [], 0
     for h, w in spatial_shapes:
         v = jax.lax.dynamic_slice_in_dim(value, offset, h * w, axis=1)
-        out.append(_pad_level_grid(v, h, w))
+        if not superrow_all and _is_dense(h, w):
+            out.append(_pad_level_grid_plain(v, h, w))
+        else:
+            out.append(_pad_level_grid(v, h, w))
         offset += h * w
     return out
 
@@ -87,6 +119,75 @@ def _window_coords(loc_xy, h: int, w: int, dt):
     w10 = jnp.where(ok, (1 - lx) * ly, zero)
     w11 = jnp.where(ok, lx * ly, zero)
     return y0i, x0i, (w00, w01, w10, w11), (lx, ly, ok)
+
+
+# levels whose zero-bordered grid has at most this many cells take the
+# dense separable-lerp matmul path instead of the gather/scatter walks
+# (measured crossover ~6k cells on v5e; 2048 keeps a safety margin and
+# covers the two small FPN levels of BEVFormer's SCA).
+import os as _os
+_DENSE_MAX_CELLS = int(_os.environ.get(
+    "DISTILLBEV_ATTN_DENSE_MAX_CELLS", 2048))
+
+
+def _is_dense(h: int, w: int) -> bool:
+    return (h + 2) * (w + 2) <= _DENSE_MAX_CELLS
+
+
+def _axis_coords(t: jnp.ndarray, n: int):
+    """One axis of _window_coords: pixel coord t -> clipped padded-grid
+    origin t0i (int32), lerp fraction l, in-range mask ok."""
+    t0 = jnp.floor(t)
+    l = t - t0
+    ok = (t0 >= -1) & (t0 <= n - 1)
+    t0i = jnp.clip(t0, -1, n - 1).astype(jnp.int32) + 1
+    return t0i, l, ok
+
+
+def _dense_factors(loc_xy: jnp.ndarray, h: int, w: int, dt):
+    """Separable 2-sparse lerp factors for the dense-matmul path.
+
+    Returns wy [B, Q, M, P, h+2], wx [B, Q, M, P, w+2] in dtype ``dt``
+    with per-axis out-of-range zeroing; their outer product reproduces
+    exactly the four _window_coords corner weights (the combined mask
+    okx & oky factorizes because a zeroed factor zeroes the product).
+    """
+    x0i, lx, okx = _axis_coords(loc_xy[..., 0] * w - 0.5, w)
+    y0i, ly, oky = _axis_coords(loc_xy[..., 1] * h - 0.5, h)
+    lx = lx.astype(dt)
+    ly = ly.astype(dt)
+    zx, zy = jnp.zeros_like(lx), jnp.zeros_like(ly)
+    ix = jnp.arange(w + 2, dtype=jnp.int32)
+    iy = jnp.arange(h + 2, dtype=jnp.int32)
+    wx = (jnp.where(ix == x0i[..., None],
+                    jnp.where(okx, 1 - lx, zx)[..., None], 0) +
+          jnp.where(ix == x0i[..., None] + 1,
+                    jnp.where(okx, lx, zx)[..., None], 0))
+    wy = (jnp.where(iy == y0i[..., None],
+                    jnp.where(oky, 1 - ly, zy)[..., None], 0) +
+          jnp.where(iy == y0i[..., None] + 1,
+                    jnp.where(oky, ly, zy)[..., None], 0))
+    return wy, wx
+
+
+def _dense_lhs(loc: jnp.ndarray, wgt: jnp.ndarray, h: int, w: int, dt):
+    """[B, Q, M, (h+2)*(w+2)] folded lerp matrix: one row per (q, m)
+    summing the P weighted outer products wy x wx (attention weights
+    folded in)."""
+    wy, wx = _dense_factors(loc, h, w, dt)
+    wy = wy * wgt.astype(dt)[..., None]
+    lhs = jnp.sum(wy[..., :, None] * wx[..., None, :], axis=3)
+    return lhs.reshape(lhs.shape[:3] + (-1,))
+
+
+def _dense_sample(pgrid: jnp.ndarray, loc: jnp.ndarray,
+                  wgt: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Dense-matmul sampling of one small level, attention weights and
+    P-reduction folded: [B, Q, M, C]."""
+    dt = pgrid.dtype
+    lhs = _dense_lhs(loc, wgt, h, w, dt)
+    return jnp.einsum("bqmk,bmkc->bqmc", lhs, pgrid,
+                      preferred_element_type=jnp.float32).astype(dt)
 
 
 _GATHER_DNUMS = jax.lax.GatherDimensionNumbers(
@@ -137,7 +238,8 @@ def _bilinear_sample(vt: jnp.ndarray, loc_xy: jnp.ndarray,
             win[..., 1, 1, :] * w11[..., None])
 
 
-def _bilinear_sample_grads(vt, loc_xy, wgt, dout, h, w, base: int):
+def _bilinear_sample_grads(vt, loc_xy, wgt, dout, h, w, base: int,
+                           want_scatter: bool = True):
     """Hand-derived backward of (bilinear sample x attention weight)
     for one level: returns (dloc_xy, dwgt, gidx, updates).
 
@@ -189,6 +291,9 @@ def _bilinear_sample_grads(vt, loc_xy, wgt, dout, h, w, base: int):
         * wgt_f
     dloc = jnp.stack([dx * w, dy * h], axis=-1).astype(loc_xy.dtype)
 
+    if not want_scatter:
+        # dense-matmul level: the caller computes dvalue as lhs^T @ dout
+        return dloc, dwgt.astype(wgt.dtype), None, None
     # dvalue payload: (w_ij * wgt) * dout as ONE 4C-wide supercell row
     # per sample in the duplicated layout; the caller folds the four
     # phases after accumulation.
@@ -221,6 +326,10 @@ def _attn_all_levels(pvals, spatial_shapes, loc, weight):
     q, c = loc.shape[1], pvals[0].shape[-1]
     out = jnp.zeros((bsz, q, m, c), dt)
     for lvl, (h, w) in enumerate(spatial_shapes):
+        if _is_dense(h, w):
+            out = out + _dense_sample(pvals[lvl], loc[:, :, :, lvl],
+                                      weight[:, :, :, lvl], h, w)
+            continue
         sampled = _bilinear_sample(pvals[lvl], loc[:, :, :, lvl], h, w)
         # keep the sampled temp in the value dtype (fp32 softmax weights
         # would promote the [B,Q,M,P,C] buffer — under bf16 mixed
@@ -238,8 +347,9 @@ def _attn_all_levels(pvals, spatial_shapes, loc, weight):
 # (B*Q*M*P can reach 10M rows at bev 200x200 — unchunked, those temps
 # OOM a 16 GB chip in the backward).  Chunks stay large enough that the
 # gather/MXU work amortizes the loop overhead.  Override with
-# DISTILLBEV_ATTN_MAX_GATHER_ROWS (log2 values make sense: 17-20).
-import os as _os
+# DISTILLBEV_ATTN_MAX_GATHER_ROWS (log2 values make sense: 17-20;
+# measured on v5e: 2^18 beats 2^19/2^20 — the walks are row-rate
+# bound, larger chunks only grow the temps).
 _MAX_GATHER_ROWS = int(_os.environ.get(
     "DISTILLBEV_ATTN_MAX_GATHER_ROWS", 1 << 18))
 
@@ -304,56 +414,98 @@ def _attn_cvjp_bwd(spatial_shapes, res, g):
     rows = bsz * q * m * p
     n_chunks = max(1, -(-rows // _MAX_GATHER_ROWS))
     (locs, wgts, gs), qc = _chunk_qaxis([loc, weight, g], q, n_chunks)
-    pvals = _split_levels(value, spatial_shapes)
-    # per-(b, m) supercell count and per-level local offsets
-    lbases, cells_bm = [], 0
-    for h, w in spatial_shapes:
-        lbases.append(cells_bm)
+    # superrow grids for ALL levels: dloc/dwgt need the per-corner dot
+    # products (window gathers) even on dense-matmul levels
+    pvals = _split_levels(value, spatial_shapes, superrow_all=True)
+    dense_lvls = [i for i, (h, w) in enumerate(spatial_shapes)
+                  if _is_dense(h, w)]
+    gather_lvls = [i for i, (h, w) in enumerate(spatial_shapes)
+                   if not _is_dense(h, w)]
+    # per-(b, m) supercell count and per-level local offsets — scatter
+    # bookkeeping covers only the gather levels (dense levels get their
+    # dvalue from a transposed matmul, no scatter rows at all)
+    lbases, cells_bm = {}, 0
+    for i in gather_lvls:
+        h, w = spatial_shapes[i]
+        lbases[i] = cells_bm
         cells_bm += (h + 1) * (w + 1)
     bm = bsz * m
-    grp = max(1, _MAX_SCATTER_TARGET_ROWS // cells_bm)
-    n_slabs = -(-bm // grp)
-    slab_bm = [min(grp, bm - s * grp) for s in range(n_slabs)]
-    acc0 = tuple(jnp.zeros((gbm * cells_bm, 4 * c), jnp.float32)
-                 for gbm in slab_bm)
+    if gather_lvls:
+        grp = max(1, _MAX_SCATTER_TARGET_ROWS // cells_bm)
+        n_slabs = -(-bm // grp)
+        slab_bm = [min(grp, bm - s * grp) for s in range(n_slabs)]
+    else:
+        grp, slab_bm = 1, []
+    acc0 = (
+        tuple(jnp.zeros((gbm * cells_bm, 4 * c), jnp.float32)
+              for gbm in slab_bm),
+        tuple(jnp.zeros(
+            (bsz, m,
+             (spatial_shapes[i][0] + 2) * (spatial_shapes[i][1] + 2), c),
+            jnp.float32) for i in dense_lvls))
 
-    def chunk_bwd(dval_acc, args):
+    def chunk_bwd(acc, args):
+        dval_acc, dense_acc = acc
         locc, wgtc, gc = args
-        idxs, ups, dls, dws = [], [], [], []
+        idxs, ups = [], []
+        dls = [None] * num_levels
+        dws = [None] * num_levels
+        new_dense = list(dense_acc)
         for lvl, (h, w) in enumerate(spatial_shapes):
+            dense = _is_dense(h, w)
             dl, dw, lidx, up = _bilinear_sample_grads(
                 pvals[lvl], locc[:, :, :, lvl], wgtc[:, :, :, lvl],
-                gc, h, w, lbases[lvl])
-            # [B, Qc, M, P] -> [B*M, Qc*P] bm-major
-            idxs.append(lidx.transpose(0, 2, 1, 3).reshape(bm, -1))
-            ups.append(up.transpose(0, 2, 1, 3, 4).reshape(
-                bm, -1, 4 * c))
-            dls.append(dl)
-            dws.append(dw)
-        idx_bm = jnp.concatenate(idxs, axis=1)
-        up_bm = jnp.concatenate(ups, axis=1).astype(jnp.float32)
-        # one small-target row scatter per slab (stays on XLA's fast
-        # path); each sample adds ONE 4C-wide supercell row
-        new_acc = []
-        for s, (acc_s, gbm) in enumerate(zip(dval_acc, slab_bm)):
-            i0 = s * grp
-            rel = jnp.arange(gbm, dtype=jnp.int32)[:, None] * cells_bm
-            idx_s = (idx_bm[i0:i0 + gbm] + rel).reshape(-1)
-            new_acc.append(acc_s.at[idx_s].add(
-                up_bm[i0:i0 + gbm].reshape(-1, 4 * c)))
-        return tuple(new_acc), (jnp.stack(dls, axis=3),
-                                jnp.stack(dws, axis=3))
+                gc, h, w, lbases.get(lvl, 0), want_scatter=not dense)
+            dls[lvl] = dl
+            dws[lvl] = dw
+            if dense:
+                di = dense_lvls.index(lvl)
+                dt = pvals[lvl].dtype
+                lhs = _dense_lhs(locc[:, :, :, lvl],
+                                 wgtc[:, :, :, lvl], h, w, dt)
+                new_dense[di] = new_dense[di] + jnp.einsum(
+                    "bqmk,bqmc->bmkc", lhs, gc.astype(dt),
+                    preferred_element_type=jnp.float32)
+            else:
+                # [B, Qc, M, P] -> [B*M, Qc*P] bm-major
+                idxs.append(lidx.transpose(0, 2, 1, 3).reshape(bm, -1))
+                ups.append(up.transpose(0, 2, 1, 3, 4).reshape(
+                    bm, -1, 4 * c))
+        new_acc = list(dval_acc)
+        if idxs:
+            idx_bm = jnp.concatenate(idxs, axis=1)
+            up_bm = jnp.concatenate(ups, axis=1).astype(jnp.float32)
+            # one small-target row scatter per slab (stays on XLA's fast
+            # path); each sample adds ONE 4C-wide supercell row
+            new_acc = []
+            for s, (acc_s, gbm) in enumerate(zip(dval_acc, slab_bm)):
+                i0 = s * grp
+                rel = jnp.arange(gbm, dtype=jnp.int32)[:, None] \
+                    * cells_bm
+                idx_s = (idx_bm[i0:i0 + gbm] + rel).reshape(-1)
+                new_acc.append(acc_s.at[idx_s].add(
+                    up_bm[i0:i0 + gbm].reshape(-1, 4 * c)))
+        return (tuple(new_acc), tuple(new_dense)), \
+            (jnp.stack(dls, axis=3), jnp.stack(dws, axis=3))
 
-    dval_slabs, (dlocs, dwgts) = jax.lax.scan(chunk_bwd, acc0,
-                                              (locs, wgts, gs))
-    dval_bm = jnp.concatenate(dval_slabs).reshape(
-        bsz, m, cells_bm, 2, 2, c)
+    (dval_slabs, dense_accs), (dlocs, dwgts) = jax.lax.scan(
+        chunk_bwd, acc0, (locs, wgts, gs))
+    if gather_lvls:
+        dval_bm = jnp.concatenate(dval_slabs).reshape(
+            bsz, m, cells_bm, 2, 2, c)
     parts = []
     for lvl, (h, w) in enumerate(spatial_shapes):
-        grid = dval_bm[:, :, lbases[lvl]:lbases[lvl] +
-                       (h + 1) * (w + 1)].reshape(
-            bsz, m, h + 1, w + 1, 2, 2, c)
-        parts.append(_fold_level_grid(grid, h, w))
+        if _is_dense(h, w):
+            di = dense_lvls.index(lvl)
+            core = dense_accs[di].reshape(
+                bsz, m, h + 2, w + 2, c)[:, :, 1:h + 1, 1:w + 1]
+            parts.append(core.transpose(0, 2, 3, 1, 4).reshape(
+                bsz, h * w, m, c))
+        else:
+            grid = dval_bm[:, :, lbases[lvl]:lbases[lvl] +
+                           (h + 1) * (w + 1)].reshape(
+                bsz, m, h + 1, w + 1, 2, 2, c)
+            parts.append(_fold_level_grid(grid, h, w))
     dval = jnp.concatenate(parts, axis=1)
     dloc = jnp.moveaxis(dlocs, 0, 1).reshape(
         (bsz, n_chunks * qc) + loc.shape[2:])[:, :q]

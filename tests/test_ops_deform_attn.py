@@ -1,9 +1,28 @@
 """Parity tests for multi-scale deformable attention vs numpy reference."""
+import contextlib
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
+import importlib
+
+mda_mod = importlib.import_module("distillbev_tpu.ops.ms_deform_attn")
 from distillbev_tpu.ops.ms_deform_attn import ms_deform_attn
+
+
+@contextlib.contextmanager
+def force_path(path: str):
+    """Pin the sampling implementation: 'dense' routes every level
+    through the separable-lerp matmul, 'gather' through the
+    superrow/supercell walks."""
+    orig = mda_mod._DENSE_MAX_CELLS
+    mda_mod._DENSE_MAX_CELLS = 1 << 30 if path == "dense" else 0
+    try:
+        yield
+    finally:
+        mda_mod._DENSE_MAX_CELLS = orig
 
 
 def numpy_ms_deform_attn(value, shapes, locs, weights):
@@ -38,7 +57,8 @@ def numpy_ms_deform_attn(value, shapes, locs, weights):
 
 class TestMSDeformAttn:
 
-    def test_vs_numpy(self, rng):
+    @pytest.mark.parametrize("path", ["dense", "gather"])
+    def test_vs_numpy(self, rng, path):
         B, M, C, Q, P = 2, 2, 4, 5, 3
         shapes = ((4, 6), (2, 3))
         total = sum(h * w for h, w in shapes)
@@ -47,9 +67,10 @@ class TestMSDeformAttn:
             .astype(np.float32)
         weights = rng.rand(B, Q, M, len(shapes), P).astype(np.float32)
         weights /= weights.sum(axis=(3, 4), keepdims=True)
-        got = np.asarray(ms_deform_attn(
-            jnp.asarray(value), shapes, jnp.asarray(locs),
-            jnp.asarray(weights)))
+        with force_path(path):
+            got = np.asarray(ms_deform_attn(
+                jnp.asarray(value), shapes, jnp.asarray(locs),
+                jnp.asarray(weights)))
         want = numpy_ms_deform_attn(value, shapes, locs, weights)
         assert np.allclose(got, want, atol=1e-4)
 
@@ -122,10 +143,11 @@ def test_query_chunking_parity(rng):
                                atol=1e-4)
 
 
-def test_custom_vjp_matches_autodiff(rng):
+@pytest.mark.parametrize("path", ["dense", "gather"])
+def test_custom_vjp_matches_autodiff(rng, path):
     """The hand-written backward (reference ms_deform_attn_backward
     parity) matches autodiff of the same forward for all three inputs,
-    chunked and unchunked."""
+    chunked and unchunked, on both sampling implementations."""
     import importlib
     import jax
     mda = importlib.import_module("distillbev_tpu.ops.ms_deform_attn")
@@ -143,16 +165,52 @@ def test_custom_vjp_matches_autodiff(rng):
     def loss_auto(v, l, w):
         return (mda._attn_chunked(v, shapes, l, w) ** 2).sum()
 
-    ga = jax.grad(loss_auto, argnums=(0, 1, 2))(value, loc, wgt)
-    orig = mda._MAX_GATHER_ROWS
-    try:
-        for rows_cap in (1 << 20, 64):
-            mda._MAX_GATHER_ROWS = rows_cap
-            gc = jax.grad(loss_custom, argnums=(0, 1, 2))(value, loc,
-                                                          wgt)
-            for a, b_ in zip(gc, ga):
-                ref = np.abs(np.asarray(b_)).max() + 1e-9
-                assert np.abs(np.asarray(a) - np.asarray(b_)).max() \
-                    / ref < 1e-4
-    finally:
-        mda._MAX_GATHER_ROWS = orig
+    with force_path(path):
+        ga = jax.grad(loss_auto, argnums=(0, 1, 2))(value, loc, wgt)
+        orig = mda._MAX_GATHER_ROWS
+        try:
+            for rows_cap in (1 << 20, 64):
+                mda._MAX_GATHER_ROWS = rows_cap
+                gc = jax.grad(loss_custom, argnums=(0, 1, 2))(
+                    value, loc, wgt)
+                for a, b_ in zip(gc, ga):
+                    ref = np.abs(np.asarray(b_)).max() + 1e-9
+                    assert np.abs(np.asarray(a) - np.asarray(b_)).max() \
+                        / ref < 1e-4
+        finally:
+            mda._MAX_GATHER_ROWS = orig
+
+
+def test_dense_matches_gather(rng):
+    """The dense separable-lerp matmul path is numerically equivalent to
+    the gather path (values and all grads), including mixed dense/gather
+    level splits."""
+    b, m, c, q, p = 2, 2, 8, 23, 4
+    shapes = ((12, 17), (5, 7))     # cells 266 / 63
+    hw = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.randn(b, hw, m, c).astype(np.float32))
+    loc = jnp.asarray(
+        rng.uniform(-0.1, 1.1, (b, q, m, 2, p, 2)).astype(np.float32))
+    wgt = jax.nn.softmax(jnp.asarray(
+        rng.randn(b, q, m, 2, p).astype(np.float32)), axis=-1)
+
+    def run(path, cells=None):
+        orig = mda_mod._DENSE_MAX_CELLS
+        mda_mod._DENSE_MAX_CELLS = cells if cells is not None else (
+            1 << 30 if path == "dense" else 0)
+        try:
+            out = ms_deform_attn(value, shapes, loc, wgt)
+            gv, gl, gw = jax.grad(
+                lambda v, l, w: (ms_deform_attn(v, shapes, l, w).astype(
+                    jnp.float32) ** 2).sum(),
+                argnums=(0, 1, 2))(value, loc, wgt)
+            return out, gv, gl, gw
+        finally:
+            mda_mod._DENSE_MAX_CELLS = orig
+
+    ref = run("gather")
+    for variant in [run("dense"), run(None, cells=100)]:  # all / mixed
+        for a, b_ in zip(variant, ref):
+            ref_mag = np.abs(np.asarray(b_)).max() + 1e-9
+            assert np.abs(np.asarray(a) - np.asarray(b_)).max() \
+                / ref_mag < 1e-5
