@@ -235,10 +235,11 @@ def train_model(cfg, work_dir: str, resume_from: Optional[str] = None,
         if is_distill:
             raw_step = make_bevformer_distill_train_step(
                 model, teacher, tx, bev_h, bev_w,
-                mixed_precision=mixed)
+                mixed_precision=mixed, seed=cfg.get("seed", 0))
         else:
             raw_step = make_bevformer_train_step(
-                model, tx, mixed_precision=mixed)
+                model, tx, mixed_precision=mixed,
+                seed=cfg.get("seed", 0))
         step_fn = jax.jit(raw_step, donate_argnums=(0,))
     elif is_distill:
         step_fn = jax.jit(make_distill_train_step(

@@ -213,8 +213,8 @@ class BEVFormerBatch(NamedTuple):
 
 def make_bevformer_distill_train_step(student, teacher, tx,
                                       bev_h: int, bev_w: int,
-                                      mixed_precision: bool = False
-                                      ) -> Callable:
+                                      mixed_precision: bool = False,
+                                      seed: int = 0) -> Callable:
     """BEVFormer distillation step (reference
     bevformer_distill.py forward_train:926-984): detection loss +
     FGD on (student bev_embed, teacher bev_feat) + hs/query distill.
@@ -248,7 +248,9 @@ def make_bevformer_distill_train_step(student, teacher, tx,
             t_dec = jax.lax.stop_gradient(teacher.apply(
                 teacher_variables, t_outs, method=teacher.get_bboxes))
 
-        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(0),
+        # dropout stream derived from the run seed (reference seeded-run
+        # semantics, tools/train.py:180-183) and the step counter
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed),
                                          state.step)
 
         def loss_fn(params):
@@ -292,7 +294,8 @@ def make_bevformer_distill_train_step(student, teacher, tx,
 
 def make_bevformer_distill_split_steps(student, teacher, tx,
                                        bev_h: int, bev_w: int,
-                                       mixed_precision: bool = False
+                                       mixed_precision: bool = False,
+                                       seed: int = 0
                                        ) -> Tuple[Callable, Callable]:
     """The BEVFormer distill step as TWO jittable pieces:
     ``teacher_fn(teacher_variables, batch) -> (t_outs, t_bev_feat,
@@ -332,7 +335,7 @@ def make_bevformer_distill_split_steps(student, teacher, tx,
         if mixed_precision:
             batch = batch._replace(
                 imgs=batch.imgs.astype(jnp.bfloat16))
-        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(0),
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed),
                                          state.step)
 
         def loss_fn(params):
@@ -375,8 +378,8 @@ def make_bevformer_distill_split_steps(student, teacher, tx,
 
 
 def make_bevformer_train_step(model, tx,
-                              mixed_precision: bool = False
-                              ) -> Callable:
+                              mixed_precision: bool = False,
+                              seed: int = 0) -> Callable:
     """Plain (non-distill) BEVFormer train step — detection loss only
     (reference bevformer.py forward_train; the reference trains the
     BEVFormer baseline through the same custom runner path,
@@ -389,7 +392,7 @@ def make_bevformer_train_step(model, tx,
         if mixed_precision:
             batch = batch._replace(
                 imgs=batch.imgs.astype(jnp.bfloat16))
-        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(0),
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed),
                                          state.step)
 
         def loss_fn(params):

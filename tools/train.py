@@ -35,6 +35,11 @@ def parse_args():
                              "from the cluster env (SLURM / TPU pod) — "
                              "the NCCL init_dist counterpart "
                              "(reference tools/train.py:137-144)")
+    parser.add_argument("--dry-run", action="store_true",
+                        help="resolve the config (incl. --cfg-options), "
+                             "build the model, print a summary and exit "
+                             "without touching data or devices — used "
+                             "by the launch-recipe smoke tests")
     return parser.parse_args()
 
 
@@ -55,6 +60,16 @@ def main():
             jax.device_count() / 8
     os.makedirs(work_dir, exist_ok=True)
     cfg.dump(osp.join(work_dir, "config_dump.py"))
+
+    if args.dry_run:
+        # resolve + build only: proves the recipe's config and override
+        # surface without data or devices (recipe smoke tests)
+        from distillbev_tpu.models import build_detector
+        model = build_detector(cfg.model)
+        print(f"[dry-run] config OK: {args.config}")
+        print(f"[dry-run] model: {type(model).__name__}")
+        print(f"[dry-run] work_dir: {work_dir}")
+        return
 
     from distillbev_tpu.apis.train import train_model
     from distillbev_tpu.utils.logger import get_root_logger, collect_env
