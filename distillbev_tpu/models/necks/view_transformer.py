@@ -227,8 +227,11 @@ class ViewTransformerLSSBEVDepth(nn.Module):
             name="se")(xf, cam_params, train=train)
         depth_feat = build_backbone({**ed_cfg, "name": "extra_depthnet"})(
             depth_feat, train=train)[0]
-        # true DCNv2 (reference view_transformer_mine.py:298-308)
-        depth_feat = ModulatedDeformConv(dch, 3, use_bias=False,
+        # true DCNv2 (reference view_transformer_mine.py:298-308);
+        # the reference's dcn_config defaults to dict(bias=True) and no
+        # shipped config overrides it
+        dcn_bias = bool(dict(self.dcn_config or {}).get("bias", True))
+        depth_feat = ModulatedDeformConv(dch, 3, use_bias=dcn_bias,
                                          name="dcn_conv")(depth_feat)
         depth_feat = make_norm(dict(type="BN"))(name="dcn_bn")(
             depth_feat, use_running_average=not train)

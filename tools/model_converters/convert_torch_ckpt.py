@@ -177,6 +177,7 @@ def bevdepth4d_name_map(depth: int = 50) -> Tuple[Dict, Dict]:
     # true DCNv2 + bn (reference img_view_transformer.dcn.0/.1 is an
     # mmcv ModulatedDeformConv2dPack: weight + conv_offset conv)
     pm[f"{vt}dcn.0.weight"] = fvt + ("dcn_conv", "weight")
+    pm[f"{vt}dcn.0.bias"] = fvt + ("dcn_conv", "bias")
     pm[f"{vt}dcn.0.conv_offset.weight"] = fvt + (
         "dcn_conv", "conv_offset", "kernel")
     pm[f"{vt}dcn.0.conv_offset.bias"] = fvt + (
