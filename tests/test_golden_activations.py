@@ -461,3 +461,164 @@ def test_pillar_feature_net_golden_activations(rng):
     hits = np.isclose(np.asarray(j_out[0])[padded], pad_floor[None],
                       atol=1e-6) & (pad_floor[None] > 0)
     assert hits.any(), "BN(0) floor never active — quirk untested"
+
+
+# ---- BEVDepth DepthNet (SE + extra ResNet + DCN + depth conv) ----------
+
+class TorchBasicBlockBEV(nn.Module):
+    """mmdet3d bricks BasicBlock as used by ResNetForBEVDet
+    (reference backbones/resnet.py:37-44): conv-bn-relu-conv-bn +
+    residual; first block of a stage gets a BARE 3x3 conv shortcut
+    (bias=True, no BN) even when shape-preserving."""
+
+    def __init__(self, inplanes, planes, stride=1, with_downsample=False):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride=stride,
+                               padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = nn.Conv2d(inplanes, planes, 3, stride, 1) \
+            if with_downsample else None
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return self.relu(y + idt)
+
+
+class TorchDCNPack(nn.Module):
+    """mmcv ModulatedDeformConv2dPack semantics: a plain conv predicts
+    (o1, o2, mask) channel chunks; offset = cat(o1, o2) read as
+    interleaved per-tap (dy, dx); forward via the plain-torch DCNv2
+    transcription shared with test_golden_ops."""
+
+    def __init__(self, ch, k=3, bias=True):
+        super().__init__()
+        self.weight = nn.Parameter(torch.randn(ch, ch, k, k) * 0.05)
+        self.bias = nn.Parameter(torch.randn(ch) * 0.1) if bias else None
+        self.conv_offset = nn.Conv2d(ch, 3 * k * k, k, padding=k // 2)
+        self.k = k
+
+    def forward(self, x):
+        from test_golden_ops import torch_modulated_deform_conv
+        b, _, h, w = x.shape
+        k2 = self.k * self.k
+        out = self.conv_offset(x)
+        o1, o2, mask = torch.chunk(out, 3, dim=1)
+        offset = torch.cat((o1, o2), dim=1)           # [B, 2K, H, W]
+        offset = offset.permute(0, 2, 3, 1).reshape(b, h, w, k2, 2)
+        mask = torch.sigmoid(mask).permute(0, 2, 3, 1)
+        bias = self.bias if self.bias is not None else \
+            torch.zeros(self.weight.shape[0])
+        return torch_modulated_deform_conv(x, offset, mask, self.weight,
+                                           bias, 1, 1)
+
+
+class TorchSELike(nn.Module):
+    """Reference SELikeModule (view_transformer_mine.py:267-280)."""
+
+    def __init__(self, in_ch, feat_ch, intrinsic_channel=33):
+        super().__init__()
+        self.input_conv = nn.Conv2d(in_ch, feat_ch, 1)
+        self.fc = nn.Sequential(nn.BatchNorm1d(intrinsic_channel),
+                                nn.Linear(intrinsic_channel, feat_ch),
+                                nn.Sigmoid())
+
+    def forward(self, x, cam_params):
+        x = self.input_conv(x)
+        b, c = x.shape[:2]
+        return x * self.fc(cam_params).view(b, c, 1, 1)
+
+
+class TorchDepthNet(nn.Module):
+    """The reference ViewTransformerLSSBEVDepth depth branch
+    (view_transformer_mine.py:283-343): featnet context conv + SE gate
+    -> extra ResNetForBEVDet -> DCNv2+BN -> 1x1 depth logits."""
+
+    def __init__(self, in_ch, dch, trans_ch, d_bins):
+        super().__init__()
+        self.featnet = nn.Conv2d(in_ch, trans_ch, 1)
+        self.se = TorchSELike(in_ch, dch)
+        self.extra_depthnet = nn.Module()
+        self.extra_depthnet.layers = nn.Sequential(nn.Sequential(
+            TorchBasicBlockBEV(dch, dch, with_downsample=True),
+            TorchBasicBlockBEV(dch, dch),
+            TorchBasicBlockBEV(dch, dch)))
+        self.dcn = nn.Sequential(TorchDCNPack(dch),
+                                 nn.BatchNorm2d(dch))
+        self.depthnet = nn.Conv2d(dch, d_bins, 1)
+
+    def forward(self, x, cam_params):
+        img_feat = self.featnet(x)
+        y = self.se(x, cam_params)
+        y = self.extra_depthnet.layers(y)
+        y = self.dcn(y)
+        return self.depthnet(y), img_feat
+
+
+def test_bevdepth_depthnet_golden_activations(rng):
+    """VERDICT r2 #5: DepthNet/SE golden parity through the REAL
+    converter name map (bevdepth4d_name_map's img_view_transformer
+    section) — validates the SE cam-param concat order, the bare-conv
+    shortcut, the DCN pack offset/mask layout and the dcn bias."""
+    from convert_torch_ckpt import bevdepth4d_name_map
+    from distillbev_tpu.models.necks.view_transformer import \
+        ViewTransformerLSSBEVDepth
+
+    in_ch, dch = 32, 24
+    grid = {"xbound": [-8.0, 8.0, 0.8], "ybound": [-8.0, 8.0, 0.8],
+            "zbound": [-10.0, 10.0, 20.0], "dbound": [1.0, 9.0, 1.0]}
+    data = {"input_size": (64, 96)}
+    b, n = 1, 2
+    fh, fw = 4, 6
+    d_bins = 8
+
+    tm = TorchDepthNet(in_ch, dch, 16, d_bins).eval()
+    randomize_bn(tm)
+
+    x = rng.randn(b, n, fh, fw, in_ch).astype(np.float32)
+    intrins = np.tile(np.array(
+        [[50.0, 0, 48], [0, 50.0, 32], [0, 0, 1]], np.float32),
+        (b, n, 1, 1))
+    rots = np.tile(np.eye(3, dtype=np.float32), (b, n, 1, 1))
+    trans = np.zeros((b, n, 3), np.float32)
+    post_rots = np.tile(np.eye(3, dtype=np.float32), (b, n, 1, 1))
+    post_trans = np.zeros((b, n, 3), np.float32)
+    cam_params = np.concatenate([
+        intrins.reshape(b * n, -1), post_rots.reshape(b * n, -1),
+        post_trans.reshape(b * n, -1), rots.reshape(b * n, -1),
+        trans.reshape(b * n, -1)], axis=-1)
+
+    with torch.no_grad():
+        t_logits, _ = tm(torch.from_numpy(
+            np.transpose(x.reshape(b * n, fh, fw, in_ch), (0, 3, 1, 2))),
+            torch.from_numpy(cam_params))
+
+    model = ViewTransformerLSSBEVDepth(
+        grid_config=grid, data_config=data, numC_input=in_ch,
+        numC_Trans=16, downsample=16,
+        extra_depth_net=dict(type="ResNetForBEVDet", numC_input=dch,
+                             num_layer=[3], num_channels=[dch],
+                             stride=[1]))
+    inputs = tuple(jnp.asarray(v) for v in
+                   (x, rots, trans, intrins, post_rots, post_trans))
+    variables = model.init(jax.random.PRNGKey(0), inputs)
+
+    pm, sm = bevdepth4d_name_map()
+    vt_pm = {k: v[1:] for k, v in pm.items()
+             if k.startswith("img_view_transformer.")}
+    vt_sm = {k: v[1:] for k, v in sm.items()
+             if k.startswith("img_view_transformer.")}
+    sd = {k: v.detach().numpy() for k, v in
+          tm.state_dict(prefix="img_view_transformer.").items()}
+    variables = convert_into(variables, sd, vt_pm, vt_sm)
+
+    _, j_logits = model.apply(variables, inputs, train=False)
+    np.testing.assert_allclose(
+        t_logits.numpy(),
+        np.transpose(np.asarray(j_logits.reshape(b * n, fh, fw, d_bins)),
+                     (0, 3, 1, 2)),
+        rtol=1e-4, atol=1e-4)

@@ -33,6 +33,7 @@ sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
 
 from distillbev_tpu.ops.ms_deform_attn import ms_deform_attn
 from distillbev_tpu.ops.bev_pool import bev_pool
+from distillbev_tpu.ops.deform_conv import modulated_deform_conv2d
 from distillbev_tpu.ops.spconv import (SparseTensor, sparse_conv,
                                        sparse_to_dense, subm_conv)
 
@@ -159,6 +160,89 @@ def test_bev_pool_torch_golden(rng):
     # ours is an exact gather — tolerance covers the cancellation noise
     np.testing.assert_allclose(tf.grad.numpy(), np.asarray(df),
                                rtol=1e-4, atol=1e-5)
+
+
+# ---- DCNv2 vs plain-torch per-tap grid_sample --------------------------
+
+
+def torch_modulated_deform_conv(x, offset, mask, weight, bias, stride,
+                                dilation):
+    """Plain-torch DCNv2 (mmcv modulated_deform_conv semantics): per
+    kernel tap, bilinearly sample at p0 + p_k + offset (zero outside),
+    modulate, then a dense [K*C -> Cout] contraction.
+
+    x [B, C, H, W]; offset [B, Ho, Wo, K, 2] (dy, dx); mask
+    [B, Ho, Wo, K]; weight [Cout, C, kh, kw] -> [B, Cout, Ho, Wo].
+    """
+    b, c, h, w = x.shape
+    c_out, _, kh, kw = weight.shape
+    k = kh * kw
+    _, ho, wo = offset.shape[:3]
+    pad_h, pad_w = (kh - 1) * dilation // 2, (kw - 1) * dilation // 2
+
+    oy = torch.arange(ho, dtype=torch.float32) * stride - pad_h
+    ox = torch.arange(wo, dtype=torch.float32) * stride - pad_w
+    ty = (torch.arange(kh, dtype=torch.float32) * dilation
+          ).repeat_interleave(kw)
+    tx = (torch.arange(kw, dtype=torch.float32) * dilation).repeat(kh)
+    py = oy[None, :, None, None] + ty + offset[..., 0]
+    px = ox[None, None, :, None] + tx + offset[..., 1]
+    # pixel coords -> align_corners=True normalized coords
+    gy = 2.0 * py / max(h - 1, 1) - 1.0
+    gx = 2.0 * px / max(w - 1, 1) - 1.0
+    grid = torch.stack([gx, gy], -1).reshape(b, ho, wo * k, 2)
+    samp = F.grid_sample(x, grid, mode="bilinear", padding_mode="zeros",
+                         align_corners=True)       # [B, C, Ho, Wo*K]
+    samp = samp.reshape(b, c, ho, wo, k) * mask[:, None]
+    out = torch.einsum("bchwk,okc->bohw", samp,
+                       weight.reshape(c_out, c, k).permute(0, 2, 1))
+    return out + bias[None, :, None, None]
+
+
+@pytest.mark.parametrize("stride,dilation", [(1, 1), (2, 1), (1, 2)])
+def test_modulated_deform_conv_torch_golden(rng, stride, dilation):
+    b, h, w, c, c_out, kh = 2, 9, 11, 6, 8, 3
+    k = kh * kh
+    ho = (h - 1) // stride + 1
+    wo = (w - 1) // stride + 1
+    x = rng.randn(b, h, w, c).astype(np.float32)
+    # offsets spread over a few pixels incl. out-of-range samples
+    off = (rng.randn(b, ho, wo, k, 2) * 2.0).astype(np.float32)
+    msk = rng.rand(b, ho, wo, k).astype(np.float32)
+    wt = (rng.randn(c_out, c, kh, kh) * 0.2).astype(np.float32)
+    bias = rng.randn(c_out).astype(np.float32)
+    g_out = rng.randn(b, ho, wo, c_out).astype(np.float32)
+
+    tx_ = torch.from_numpy(np.transpose(x, (0, 3, 1, 2))).requires_grad_(
+        True)
+    to = torch.from_numpy(off).requires_grad_(True)
+    tm = torch.from_numpy(msk).requires_grad_(True)
+    t_out = torch_modulated_deform_conv(
+        tx_, to, tm, torch.from_numpy(wt), torch.from_numpy(bias),
+        stride, dilation)
+    t_out.backward(torch.from_numpy(
+        np.transpose(g_out, (0, 3, 1, 2))).contiguous())
+
+    def f(xj, oj, mj):
+        return modulated_deform_conv2d(
+            xj, oj.reshape(b, ho, wo, 2 * k), mj,
+            jnp.asarray(np.transpose(wt, (2, 3, 1, 0))),
+            jnp.asarray(bias), stride=stride, dilation=dilation)
+
+    j_out, vjp = jax.vjp(f, jnp.asarray(x), jnp.asarray(off),
+                         jnp.asarray(msk))
+    dx, doff, dmsk = vjp(jnp.asarray(g_out))
+
+    np.testing.assert_allclose(
+        np.transpose(t_out.detach().numpy(), (0, 2, 3, 1)),
+        np.asarray(j_out), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.transpose(tx_.grad.numpy(), (0, 2, 3, 1)), np.asarray(dx),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(tm.grad.numpy(), np.asarray(dmsk),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(to.grad.numpy(), np.asarray(doff),
+                               rtol=1e-3, atol=1e-3)
 
 
 # ---- spconv vs dense torch conv3d -------------------------------------
