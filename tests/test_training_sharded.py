@@ -186,3 +186,46 @@ def test_momentum_schedule_injects():
     assert abs(float(msched(0)) - 0.9) < 1e-6
     # trough of the cycle: base * 0.85/0.95 at the 40% mark
     assert abs(float(msched(40)) - 0.9 * 0.85 / 0.95) < 1e-3
+
+
+def test_one_vs_eight_device_equality(rng, cpu_devices):
+    """DDP semantics check (VERDICT r2 #3c): the SAME global batch
+    stepped on a 1-device mesh and on the 8-device mesh must produce
+    the same loss and grad-norm (reference apis/mmdet_train.py:72-86 —
+    DDP gradient averaging is an exact mean).  Differences are only
+    fp32 reduction order, so the tolerance is tight."""
+    b = 8
+    teacher = build_detector(tiny_centerpoint_cfg())
+    pts, mask, gt, labels, gmask = make_batch(rng, b=b, n=64)
+    tvars = teacher.init(jax.random.PRNGKey(1), pts[:1], mask[:1])
+    _, t_bundle = teacher.apply(tvars, pts[:1], mask[:1])
+    student = build_detector(distill_cfg())
+    inputs1 = make_inputs(rng, b=1)
+    svars = student.init(jax.random.PRNGKey(0), inputs1, t_bundle,
+                         method="init_with_teacher")
+    tx = build_optimizer(dict(type="AdamW", lr=2e-4, weight_decay=0.01),
+                         lambda s: 2e-4, svars["params"],
+                         grad_clip=dict(max_norm=5))
+    batch = DistillBatch(make_inputs(rng, b=b), pts, mask, gt, labels,
+                         gmask)
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(cpu_devices[:n_dev])
+        state = init_train_state(svars["params"],
+                                 svars.get("batch_stats", {}), tx)
+        step_fn = jax.jit(make_distill_train_step(student, teacher, tx))
+        with mesh:
+            st = replicate(mesh, state)
+            tv = replicate(mesh, tvars)
+            bt = shard_batch(mesh, batch)
+            _, metrics = step_fn(st, tv, bt, jnp.float32(1.0))
+        results[n_dev] = {k: float(v) for k, v in metrics.items()}
+
+    for key in ("total_loss", "grad_norm", "loss_depth"):
+        a, c = results[1][key], results[8][key]
+        assert a == pytest.approx(c, rel=2e-4), (key, a, c)
+    # every loss term agrees, not just the total
+    for key in results[1]:
+        assert results[1][key] == pytest.approx(
+            results[8][key], rel=2e-3, abs=1e-6), key
