@@ -255,13 +255,19 @@ def make_example_batch(batch_size: int = 1, n_points: int = MAX_POINTS,
 
 
 def build_flagship(batch_size: int = 1, tiny: bool = False,
-                   seed: int = 0, teacher_bf16: bool = False):
+                   seed: int = 0, teacher_bf16: bool = False,
+                   img_hw: Optional[Tuple[int, int]] = None,
+                   n_points: Optional[int] = None):
     """Build (student, teacher, variables, teacher_variables, batch).
 
     tiny=True shrinks every budget for CPU dry-runs while keeping the
     full architecture and sharding structure.  teacher_bf16=True sets
     the frozen teacher's compute dtypes to bfloat16 (pair it with the
     train step's mixed_precision, which casts the teacher params).
+    img_hw / n_points override only the INPUT shapes of the full
+    (non-tiny) recipe — the full R50 architecture, voxel budgets and
+    BEV grid stay the reference's — for multi-chip dry runs that must
+    shard the real model graph on hosts without TPUs.
     """
     import jax
     from ..models import build_detector
@@ -278,7 +284,12 @@ def build_flagship(batch_size: int = 1, tiny: bool = False,
     else:
         t_cfg = centerpoint_teacher_cfg()
         s_cfg = bevdepth4d_distill_cfg(50)
-        batch = make_example_batch(batch_size, seed=seed)
+        hw = tuple(img_hw) if img_hw else DATA_CONFIG["input_size"]
+        batch = make_example_batch(batch_size, seed=seed, img_hw=hw,
+                                   n_points=n_points or MAX_POINTS)
+        if img_hw:
+            s_cfg["img_view_transformer"]["data_config"] = {
+                "input_size": hw}
     if teacher_bf16:
         t_cfg["pts_voxel_encoder"]["compute_dtype"] = "bfloat16"
         t_cfg["backbone_dtype"] = "bfloat16"
@@ -322,3 +333,156 @@ def build_flagship(batch_size: int = 1, tiny: bool = False,
         tvars = move(tvars)
         svars = move(svars)
     return student, teacher, svars, tvars, batch
+
+
+def build_bevformer_dryrun(batch_size: int = 1, seed: int = 0):
+    """Small-shape LidarFormer->BEVFormer distill setup for multi-chip
+    dry runs: the full transformer-track train-step graph (history BEV
+    queue, TSA/SCA encoder, Hungarian-matched head, spconv teacher, FGD
+    on bev_embed) at toy sizes.  Returns (student, teacher, svars,
+    tvars, batch, (bev_h, bev_w)).
+    """
+    import jax
+    import jax.numpy as jnp
+    from ..models import build_detector
+    from ..training.train_step import BEVFormerBatch
+
+    pcr = [-8.0, -8.0, -5.0, 8.0, 8.0, 3.0]
+    bev_h = bev_w = 8
+    embed, ncam, queue, hw = 32, 6, 2, (32, 32)
+
+    s_cfg = dict(
+        type="BEVFormerDistill",
+        use_grid_mask=False,
+        distill_type="fgd",
+        img_backbone=dict(type="ResNet", depth=18, out_indices=(2, 3),
+                          base_channels=8),
+        img_neck=dict(type="FPN", in_channels=[32, 64],
+                      out_channels=embed, start_level=0, num_outs=2),
+        pts_bbox_head=dict(
+            type="BEVFormerHead", num_classes=4, embed_dims=embed,
+            num_query=12, bev_h=bev_h, bev_w=bev_w, pc_range=pcr,
+            real_h=16.0, real_w=16.0,
+            code_weights=[1.0] * 8 + [0.2, 0.2],
+            positional_encoding=dict(num_feats=embed // 2,
+                                     row_num_embed=bev_h,
+                                     col_num_embed=bev_w),
+            transformer=dict(
+                type="PerceptionTransformer", embed_dims=embed,
+                num_cams=ncam, num_feature_levels=2,
+                encoder=dict(num_layers=2, pc_range=pcr,
+                             embed_dims=embed, num_heads=4,
+                             feedforward_channels=64, num_levels=2,
+                             num_cams=ncam),
+                decoder=dict(num_layers=2, embed_dims=embed,
+                             num_heads=4, feedforward_channels=64)),
+            bbox_coder=dict(type="NMSFreeCoder",
+                            post_center_range=[-10, -10, -10, 10, 10,
+                                               10],
+                            pc_range=pcr, max_num=10, num_classes=4),
+            loss_cls=dict(type="FocalLoss", use_sigmoid=True, gamma=2.0,
+                          alpha=0.25, reduction="mean", loss_weight=2.0),
+            loss_bbox=dict(type="L1Loss", reduction="mean",
+                           loss_weight=0.25)),
+        distill_params=dict(
+            student_channels=[embed], teacher_channels=[embed],
+            spatial_t=0.5, spatial_student_ratio=1.0, channel_t=0.5,
+            fg_feat_loss_weights=[3e-3], bg_feat_loss_weights=[4e-2],
+            channel_loss_weights=[0.25], spatial_loss_weights=[1e-3],
+            adaptation_type="1x1conv", teacher_adaptation_type="identity",
+            spatial_attentions=["teacher"],
+            feat_criterion=dict(type="MSELoss", reduction="none"),
+            spatial_criterion=dict(type="L1Loss", reduction="none"),
+            channel_criterion=dict(type="L1Loss", reduction="none"),
+            foreground_mask="gt", background_mask="logical_not",
+            scale_mask="combine_gt", spatial_mask=True, channel_mask=True,
+            student_feat_pos=["head"], teacher_feat_pos=["head"],
+            affinity_weights=[0], affinity_mode="none",
+            fp_as_foreground="none", fp_weight=0, fp_epoch=0,
+            output_threshold=0.1, non_empty_weight=0,
+            multi_scale_epoch=-1, two_stage_epoch=-1,
+            context_length=0, context_weight=0,
+            hs_weight=0.0, query_weight=0.0),
+        train_cfg=dict(pts=dict(
+            grid_size=[bev_h, bev_w, 1], voxel_size=[2.0, 2.0, 8],
+            point_cloud_range=pcr, out_size_factor=1)),
+    )
+    t_cfg = dict(
+        type="LidarFormer",
+        pts_voxel_layer=dict(max_num_points=4,
+                             voxel_size=[0.25, 0.25, 0.25],
+                             point_cloud_range=pcr,
+                             max_voxels=(512, 512)),
+        pts_voxel_encoder=dict(type="HardSimpleVFE", num_features=4),
+        pts_middle_encoder=dict(
+            type="SparseEncoder", in_channels=4,
+            sparse_shape=[33, 64, 64], base_channels=8,
+            output_channels=16,
+            encoder_channels=((8,), (8, 8), (16, 16), (16, 16)),
+            encoder_paddings=((1,), (1, 1), (1, 1), ((0, 1, 1), 1)),
+            max_active=2048),
+        pts_backbone=dict(type="SECOND", in_channels=96,
+                          out_channels=[32, 64], layer_nums=[1, 1],
+                          layer_strides=[1, 2]),
+        pts_neck=dict(type="FPN", in_channels=[32, 64],
+                      out_channels=embed, num_outs=2),
+        pts_bbox_head=dict(
+            type="DGCNN3DHead", num_classes=4, embed_dims=embed,
+            num_query=12, pc_range=pcr, bev_h=bev_h, bev_w=bev_w,
+            code_weights=[1.0] * 8 + [0.2, 0.2],
+            transformer=dict(type="DeformableDetrTransformerDistill",
+                             embed_dims=embed, num_encoder_layers=1,
+                             feedforward_channels=64,
+                             num_feature_levels=2,
+                             decoder=dict(num_layers=2,
+                                          embed_dims=embed,
+                                          num_heads=4,
+                                          feedforward_channels=64)),
+            bbox_coder=dict(type="NMSFreeCoder",
+                            post_center_range=[-10, -10, -10, 10, 10,
+                                               10],
+                            pc_range=pcr, max_num=10, num_classes=4),
+            loss_cls=dict(type="FocalLoss", use_sigmoid=True,
+                          reduction="mean", loss_weight=2.0),
+            loss_bbox=dict(type="L1Loss", reduction="mean",
+                           loss_weight=0.25)),
+    )
+
+    rng = np.random.RandomState(seed)
+    b, m = batch_size, 6
+    imgs = rng.rand(b, queue, ncam, *hw, 3).astype(np.float32)
+    can_bus = rng.randn(b, queue, 18).astype(np.float32)
+    l2i = np.tile(np.eye(4, dtype=np.float32),
+                  (b, queue, ncam, 1, 1))
+    l2i[..., 0, 0] = 20.0
+    l2i[..., 1, 1] = 20.0
+    l2i[..., 0, 2] = hw[1] / 2
+    l2i[..., 1, 2] = hw[0] / 2
+    prev_exists = np.ones((b, queue), np.float32)
+    pts = np.zeros((b, 512, 4), np.float32)
+    pts[..., :3] = rng.uniform(-7, 7, (b, 512, 3))
+    pmask = np.ones((b, 512), bool)
+    gt = np.zeros((b, m, 9), np.float32)
+    gt[..., :2] = rng.uniform(-6, 6, (b, m, 2))
+    gt[..., 2] = rng.uniform(-2, 0, (b, m))
+    gt[..., 3:6] = rng.uniform(0.5, 3, (b, m, 3))
+    gt[..., 6] = rng.uniform(-np.pi, np.pi, (b, m))
+    labels = rng.randint(0, 4, (b, m)).astype(np.int32)
+    gmask = np.ones((b, m), bool)
+
+    import jax.numpy as jnp
+    batch = BEVFormerBatch(*[jnp.asarray(a) for a in (
+        imgs, can_bus, l2i, prev_exists, pts, pmask, gt, labels,
+        gmask)])
+
+    student = build_detector(s_cfg)
+    teacher = build_detector(t_cfg)
+    tvars = teacher.init(jax.random.PRNGKey(1), batch.points[:1],
+                         batch.point_mask[:1])
+    _, t_bundle = teacher.apply(tvars, batch.points[:1],
+                                batch.point_mask[:1])
+    svars = student.init(
+        jax.random.PRNGKey(0), batch.imgs[:1], batch.can_bus[:1],
+        batch.lidar2img[:1], batch.prev_exists[:1], t_bundle.bev_feat,
+        method="init_with_teacher")
+    return student, teacher, svars, tvars, batch, (bev_h, bev_w)
