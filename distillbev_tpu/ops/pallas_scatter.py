@@ -1,0 +1,90 @@
+"""Pallas TPU kernel: sequential row scatter-add with a VMEM-resident
+accumulator.
+
+XLA's scatter-add tops out at ~55-65M update-rows/s on v5e regardless
+of accumulator placement (tools/analysis_tools/bench_attn_vmem.py); a
+Pallas read-modify-write loop over the update rows with the WHOLE
+accumulator pinned in VMEM was measured at ~108M rows/s at the
+deformable-attention dvalue shape ([*, 128] fp32 rows into a ~12 MB
+accumulator) — tools/analysis_tools/bench_pallas_gather.py.  The
+deformable-attention backward (ops/ms_deform_attn.py) feeds one
+(batch*head, level) group at a time, whose supercell accumulators are
+0.8-12 MB — exactly VMEM-sized.
+
+The kernel is grid-sequential over row chunks and row-sequential inside
+a chunk, so accumulation order is DETERMINISTIC (ascending row index) —
+stronger than the reference CUDA atomics (nondeterministic float
+accumulation order, mmcv ms_deform_attn_backward).
+"""
+from __future__ import annotations
+
+import functools
+import os as _os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# rows per grid step; VMEM cost is acc + 2 x (_CHUNK, W) update blocks.
+_CHUNK = int(_os.environ.get("DISTILLBEV_SCATTER_CHUNK", 2048))
+
+
+def _kernel(ids_ref, upd_ref, acc_ref, *, chunk, unroll):
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def body(j, _):
+        for u in range(unroll):
+            r = ids_ref[0, j * unroll + u]
+            acc_ref[pl.ds(r, 1), :] = (acc_ref[pl.ds(r, 1), :] +
+                                       upd_ref[pl.ds(j * unroll + u, 1),
+                                               :])
+        return 0
+
+    jax.lax.fori_loop(0, chunk // unroll, body, 0)
+
+
+def scatter_add_rows(ids: jnp.ndarray, upd: jnp.ndarray, size: int,
+                     *, interpret: bool | None = None,
+                     unroll: int = 4) -> jnp.ndarray:
+    """out[ids[r]] += upd[r] with out zero-initialized.
+
+    Args:
+        ids: [R] int32 row ids in [0, size).
+        upd: [R, W] update rows.
+        size: number of accumulator rows.
+
+    Returns [size, W] of upd.dtype.  Deterministic accumulation order.
+    """
+    r, w = upd.shape
+    chunk = _CHUNK
+    nc = max(1, -(-r // chunk))
+    # the ragged tail runs WITHOUT a per-row bounds guard (measured
+    # ~2x row-rate cost): ids and upd are padded to a whole chunk, the
+    # pad ids point at trash rows past `size`, sliced off at the end.
+    pad = nc * chunk - r
+    ids_p = jnp.pad(ids, (0, pad), constant_values=size).reshape(
+        1, nc * chunk)
+    if pad:
+        upd = jnp.pad(upd, ((0, pad), (0, 0)))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(_kernel, chunk=chunk, unroll=unroll),
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((1, chunk), lambda c: (0, c),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk, w), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((size + 8, w), lambda c: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((size + 8, w), upd.dtype),
+        interpret=interpret,
+    )(ids_p, upd)
+    return out[:size]
