@@ -156,12 +156,24 @@ class BEVFormerEncoder(nn.Module):
     # reference's with_cp grad-checkpointing); the full-size student
     # (bev 200x200, 6 layers) needs this to fit one 16 GB v5e chip
     with_cp: bool = False
+    # with with_cp: SAVE the deformable-attention sampled outputs
+    # (named "msda_out", ~20-50 MB/layer bf16) instead of re-running
+    # the sampling core in the backward replay — the sampling core is
+    # the step-time bottleneck and its fwd is ~200 ms/layer full-size
+    cp_save_attn: bool = True
     # lax.scan over ONE stacked layer instead of 6 unrolled copies:
     # identical math, ~6x smaller HLO (and proportionally faster
     # compiles).  Param tree changes from layer_{i}/... to layers/...
     # with a leading [num_layers] axis; training.param_utils handles
     # the conversion from per-layer torch checkpoints.
     scan_layers: bool = False
+
+    def _cp_policy(self):
+        if not self.cp_save_attn:
+            return None
+        import jax
+        return jax.checkpoint_policies.save_only_these_names(
+            "msda_out")
 
     @nn.compact
     def __call__(self, bev_query, value, bev_h: int, bev_w: int,
@@ -196,7 +208,8 @@ class BEVFormerEncoder(nn.Module):
                         prev_valid=prev_valid, train=train)
                 return q, (q if self.return_intermediate else ())
             if self.with_cp and train:
-                body = nn.remat(body, prevent_cse=False)
+                body = nn.remat(body, prevent_cse=False,
+                                policy=self._cp_policy())
             scan = nn.scan(body, variable_axes={"params": 0},
                            split_rngs={"params": True, "dropout": True},
                            length=self.num_layers)
@@ -213,9 +226,9 @@ class BEVFormerEncoder(nn.Module):
                     return mdl(q, v, pb, r2, rc, bm, bp,
                                spatial_shapes, (bev_h, bev_w),
                                shift=sh, prev_valid=pv, train=train)
-                out = nn.remat(body)(layer, out, value, prev_bev,
-                                     ref_2d, ref_cam, bev_mask,
-                                     bev_pos, shift, prev_valid)
+                out = nn.remat(body, policy=self._cp_policy())(
+                    layer, out, value, prev_bev, ref_2d, ref_cam,
+                    bev_mask, bev_pos, shift, prev_valid)
             else:
                 out = layer(out, value, prev_bev, ref_2d, ref_cam,
                             bev_mask, bev_pos, spatial_shapes,

@@ -58,11 +58,19 @@ from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
+
+from .pallas_scatter import scatter_add_rows
 
 # levels whose zero-bordered grid has at most this many cells take the
 # dense separable-lerp matmul path instead of the per-group take.
 _DENSE_MAX_CELLS = int(_os.environ.get(
     "DISTILLBEV_ATTN_DENSE_MAX_CELLS", 512))
+
+# use the Pallas VMEM-accumulator RMW kernel for the backward's dvalue
+# scatter (TPU only; measured ~1.2x XLA's scatter-add row rate)
+_PALLAS_SCATTER = _os.environ.get(
+    "DISTILLBEV_ATTN_PALLAS_SCATTER", "1") == "1"
 
 # cap on take rows processed per scan step: peak per-step temps are
 # [rows_bm, 4C] where rows_bm = Q * L * P for one (batch, head) group.
@@ -287,10 +295,12 @@ def _attn_chunked(value, spatial_shapes, loc, weight):
             wf = w4 * wg.astype(dt)[..., None]     # [qc, Lg, P, 4]
             rows = tab_g.at[ids.reshape(-1)].get(
                 mode="promise_in_bounds")
-            comb = jnp.sum(
-                rows.reshape(-1, 4, c) * wf.reshape(-1, 4)[..., None],
-                axis=1, dtype=jnp.float32)         # [R, C]
-            out = out + comb.reshape(qc, -1, c).sum(axis=1)
+            # ONE fused multiply+reduce straight to [qc, C]: corner,
+            # point and level axes all fold into axis 1 (no [R, C]
+            # intermediate round-trips HBM)
+            out = out + jnp.sum(
+                rows.reshape(qc, -1, c) * wf.reshape(qc, -1)[..., None],
+                axis=1, dtype=jnp.float32)
         for pg, lvl in zip(pgs, dense_lvls):
             h, w = spatial_shapes[lvl]
             lhs = _dense_lhs(locc[:, lvl], wgtc[:, lvl], h, w, dt)
@@ -312,7 +322,9 @@ def _attn_chunked(value, spatial_shapes, loc, weight):
         return None, out
 
     _, out = jax.lax.scan(step, None, xs)            # [BM, Q, C]
-    return _untranspose_bm(out, bsz, m).astype(dt)
+    # cast before the untranspose: the [BM, Q, C] -> [B, Q, M, C]
+    # relayout is copy-bound, halve its bytes first
+    return _untranspose_bm(out.astype(dt), bsz, m)
 
 
 # ---------------------------------------------------------------------------
@@ -349,15 +361,14 @@ def _attn_cvjp_bwd(spatial_shapes, res, g):
     ws = [w for _, w in spatial_shapes]
     tstrides = [w + 1 for w in ws]
 
-    # scatter bookkeeping covers only the gather levels (dense levels
-    # get their dvalue from a transposed matmul, no scatter rows)
-    sbases, scells = [], 0
-    for i in gather_lvls:
-        sbases.append(scells)
-        scells += (hs[i] + 1) * (ws[i] + 1)
-    sstrides = [ws[i] + 1 for i in gather_lvls]
     hv = jnp.asarray(hs, jnp.float32).reshape(-1, 1)
     wv = jnp.asarray(ws, jnp.float32).reshape(-1, 1)
+    # dvalue scatters run per (group, level): the supercell
+    # accumulators are 0.8-12 MB and the Pallas RMW kernel (VMEM
+    # accumulator, measured ~1.2x XLA's scatter-add row rate) needs
+    # 128-lane-aligned rows
+    use_pallas = (_PALLAS_SCATTER and (4 * c) % 128 == 0
+                  and jax.default_backend() == "tpu")
 
     xs = {"tab": table, "loc": _transpose_bm(loc),
           "wgt": _transpose_bm(weight), "g": _transpose_bm(g)}
@@ -365,9 +376,10 @@ def _attn_cvjp_bwd(spatial_shapes, res, g):
     rows_bm = q * num_levels * p
     n_chunks = max(1, -(-rows_bm // _max_rows()))
 
-    def chunk_bwd(tab_g, dval, locc, wgtc, gc):
-        """One query chunk of one group.  Returns (dval', dloc_c,
-        dwgt_c) with dval the group's supercell accumulator."""
+    def chunk_bwd(tab_g, dvals, locc, wgtc, gc):
+        """One query chunk of one group.  Returns (dvals', dloc_c,
+        dwgt_c) with dvals the group's per-level supercell
+        accumulators."""
         y0i, x0i, w4, (lx, ly, ok) = _window_coords_multi(
             locc, hs, ws, dt)
         ids = _local_ids(y0i, x0i, tstrides, tbases)  # [qc, L, P]
@@ -389,35 +401,46 @@ def _attn_cvjp_bwd(spatial_shapes, res, g):
             * wgt_f * hv
         dloc = jnp.stack([dx, dy], axis=-1)           # [qc, L, P, 2]
 
-        if gather_lvls:
+        new_dvals = []
+        for gi, lvl in enumerate(gather_lvls):
             # dvalue payload: (w_k * wgt) * dout as ONE 4C-wide
-            # supercell row per sample into this group's accumulator
-            r = wgtc[:, gather_lvls].astype(dt)[..., None] \
-                * gc[:, None, None, :].astype(dt)     # [qc, Lg, P, C]
-            upd = (w4[:, gather_lvls][..., None] * r[..., None, :]) \
+            # supercell row per sample into this level's accumulator
+            h, w = spatial_shapes[lvl]
+            r = wgtc[:, lvl].astype(dt)[..., None] \
+                * gc[:, None, :].astype(dt)           # [qc, P, C]
+            upd = (w4[:, lvl][..., None] * r[..., None, :]) \
                 .reshape(-1, 4 * c).astype(jnp.float32)
-            sids = _local_ids(y0i[:, gather_lvls], x0i[:, gather_lvls],
-                              sstrides, sbases)
-            dval = dval.at[sids.reshape(-1)].add(
-                upd, mode="promise_in_bounds")
-        return dval, dloc, dwgt
+            sids = (y0i[:, lvl] * (w + 1) + x0i[:, lvl]).reshape(-1)
+            if use_pallas:
+                part = scatter_add_rows(sids, upd, (h + 1) * (w + 1))
+                new_dvals.append(part if dvals is None
+                                 else dvals[gi] + part)
+            else:
+                acc = jnp.zeros(((h + 1) * (w + 1), 4 * c),
+                                jnp.float32) if dvals is None \
+                    else dvals[gi]
+                new_dvals.append(acc.at[sids].add(
+                    upd, mode="promise_in_bounds"))
+        return tuple(new_dvals), dloc, dwgt
 
     def step(_, x):
         tab_g = x["tab"]
-        dval0 = jnp.zeros((scells, 4 * c), jnp.float32)
         if n_chunks == 1:
-            dval, dloc, dwgt = chunk_bwd(tab_g, dval0, x["loc"],
-                                         x["wgt"], x["g"])
+            dvals, dloc, dwgt = chunk_bwd(tab_g, None, x["loc"],
+                                          x["wgt"], x["g"])
         else:
             (locs, wgts), qc = _chunk_q([x["loc"], x["wgt"]], q,
                                         n_chunks)
             (gs,), _ = _chunk_q([x["g"]], q, n_chunks)
+            dvals0 = tuple(
+                jnp.zeros(((hs[i] + 1) * (ws[i] + 1), 4 * c),
+                          jnp.float32) for i in gather_lvls)
 
-            def inner(dval, args):
-                dval, dloc_c, dwgt_c = chunk_bwd(tab_g, dval, *args)
-                return dval, (dloc_c, dwgt_c)
-            dval, (dlocs, dwgts) = jax.lax.scan(
-                inner, dval0, (locs, wgts, gs))
+            def inner(dvals, args):
+                dvals, dloc_c, dwgt_c = chunk_bwd(tab_g, dvals, *args)
+                return dvals, (dloc_c, dwgt_c)
+            dvals, (dlocs, dwgts) = jax.lax.scan(
+                inner, dvals0, (locs, wgts, gs))
             dloc = dlocs.reshape((n_chunks * qc,) + dlocs.shape[2:])[:q]
             dwgt = dwgts.reshape((n_chunks * qc,) + dwgts.shape[2:])[:q]
 
@@ -431,7 +454,7 @@ def _attn_cvjp_bwd(spatial_shapes, res, g):
                              h, w, dt)                # [q, cells]
             dvd.append(jnp.einsum("qk,qc->kc", lhs, x["g"].astype(dt),
                                   preferred_element_type=jnp.float32))
-        return None, {"dval": dval, "dloc": dloc, "dwgt": dwgt,
+        return None, {"dval": dvals, "dloc": dloc, "dwgt": dwgt,
                       "dvd": tuple(dvd)}
 
     _, ys = jax.lax.scan(step, None, xs)
@@ -439,9 +462,7 @@ def _attn_cvjp_bwd(spatial_shapes, res, g):
     parts = [None] * num_levels
     for gi, lvl in enumerate(gather_lvls):
         h, w = spatial_shapes[lvl]
-        grid = ys["dval"][:, sbases[gi]:sbases[gi] +
-                          (h + 1) * (w + 1)].reshape(
-            bsz, m, h + 1, w + 1, 4, c)
+        grid = ys["dval"][gi].reshape(bsz, m, h + 1, w + 1, 4, c)
         parts[lvl] = _fold_supercell(grid, h, w)
     for di, lvl in enumerate(dense_lvls):
         h, w = spatial_shapes[lvl]
@@ -450,8 +471,8 @@ def _attn_cvjp_bwd(spatial_shapes, res, g):
         parts[lvl] = core.transpose(0, 2, 3, 1, 4).reshape(
             bsz, h * w, m, c)
     dval = jnp.concatenate(parts, axis=1)
-    dloc = _untranspose_bm(ys["dloc"], bsz, m).astype(loc.dtype)
-    dwgt = _untranspose_bm(ys["dwgt"], bsz, m).astype(weight.dtype)
+    dloc = _untranspose_bm(ys["dloc"].astype(loc.dtype), bsz, m)
+    dwgt = _untranspose_bm(ys["dwgt"].astype(weight.dtype), bsz, m)
     return dval.astype(value.dtype), dloc, dwgt
 
 
@@ -493,4 +514,10 @@ def ms_deform_attn(value: jnp.ndarray,
     shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
     out = _attn_cvjp(value, shapes, sampling_locations,
                      attention_weights)
+    # named so remat policies can SAVE the sampled output: with
+    # jax.checkpoint_policies.save_only_these_names("msda_out") an
+    # encoder-layer remat skips re-running the sampling core in the
+    # backward replay (its custom-vjp residuals are op INPUTS, which
+    # replay from cheap linears) — see transformer/encoder.py
+    out = _checkpoint_name(out, "msda_out")
     return out.reshape(bsz, q, m * c)
