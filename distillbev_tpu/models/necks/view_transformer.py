@@ -97,9 +97,14 @@ class LSSGeometry:
         gx = (geom[..., 0] - (self.bx[0] - self.dx[0] / 2)) / self.dx[0]
         gy = (geom[..., 1] - (self.bx[1] - self.dx[1] / 2)) / self.dx[1]
         gz = (geom[..., 2] - (self.bx[2] - self.dx[2] / 2)) / self.dx[2]
-        ix = jnp.floor(gx).astype(jnp.int32)
-        iy = jnp.floor(gy).astype(jnp.int32)
-        iz = jnp.floor(gz).astype(jnp.int32)
+        # truncation toward zero, NOT floor: the reference casts with
+        # .long() (view_transformer_mine.py:150) so frustum points in
+        # the (-1, 0) band of any axis land in cell 0 and are KEPT by
+        # the >=0 filter — floor would drop them (checkpoint parity:
+        # tests/test_golden_activations.py::test_lss_lift_splat_golden)
+        ix = gx.astype(jnp.int32)
+        iy = gy.astype(jnp.int32)
+        iz = gz.astype(jnp.int32)
         valid = ((ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) &
                  (iz >= 0) & (iz < int(self.nx[2])))
         p = int(np.prod(geom.shape[1:5]))

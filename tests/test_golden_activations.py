@@ -622,3 +622,158 @@ def test_bevdepth_depthnet_golden_activations(rng):
         np.transpose(np.asarray(j_logits.reshape(b * n, fh, fw, d_bins)),
                      (0, 3, 1, 2)),
         rtol=1e-4, atol=1e-4)
+
+
+# ---- full LSS lift-splat vs the torch cumsum trick ---------------------
+
+class TorchLSS(nn.Module):
+    """The reference ViewTransformerLiftSplatShoot transcribed in plain
+    torch (view_transformer_mine.py:59-264): frustum creation,
+    get_geometry's undo-aug -> unproject -> cam-to-ego chain, the 1x1
+    depthnet, the depth x context lift, and voxel_pooling via the
+    cumsum trick (:141-183).  nz=1 grids collapse Z into channels."""
+
+    def __init__(self, grid, data, in_ch, trans_ch, downsample):
+        super().__init__()
+        import torch as T
+        self.dx = T.tensor([row[2] for row in (
+            grid["xbound"], grid["ybound"], grid["zbound"])])
+        self.bx = T.tensor([row[0] + row[2] / 2.0 for row in (
+            grid["xbound"], grid["ybound"], grid["zbound"])])
+        self.nx = T.tensor([round((row[1] - row[0]) / row[2]) for row in (
+            grid["xbound"], grid["ybound"], grid["zbound"])]).long()
+        ogfH, ogfW = data["input_size"]
+        fH, fW = ogfH // downsample, ogfW // downsample
+        ds = T.arange(*grid["dbound"], dtype=T.float).view(
+            -1, 1, 1).expand(-1, fH, fW)
+        D = ds.shape[0]
+        xs = T.linspace(0, ogfW - 1, fW).view(1, 1, fW).expand(D, fH, fW)
+        ys = T.linspace(0, ogfH - 1, fH).view(1, fH, 1).expand(D, fH, fW)
+        self.frustum = T.stack((xs, ys, ds), -1)      # [D, fH, fW, 3]
+        self.D, self.trans_ch = D, trans_ch
+        self.depthnet = nn.Conv2d(in_ch, D + trans_ch, 1)
+
+    def get_geometry(self, rots, trans, intrins, post_rots, post_trans):
+        B, N, _ = trans.shape
+        points = self.frustum - post_trans.view(B, N, 1, 1, 1, 3)
+        points = torch.inverse(post_rots).view(
+            B, N, 1, 1, 1, 3, 3).matmul(points.unsqueeze(-1))
+        points = torch.cat(
+            (points[:, :, :, :, :, :2] * points[:, :, :, :, :, 2:3],
+             points[:, :, :, :, :, 2:3]), 5)
+        combine = rots.matmul(torch.inverse(intrins))
+        points = combine.view(B, N, 1, 1, 1, 3, 3).matmul(
+            points).squeeze(-1)
+        return points + trans.view(B, N, 1, 1, 1, 3)
+
+    def voxel_pooling(self, geom_feats, x):
+        B, N, D, H, W, C = x.shape
+        Nprime = B * N * D * H * W
+        nx = self.nx
+        x = x.reshape(Nprime, C)
+        geom_feats = ((geom_feats - (self.bx - self.dx / 2.)) /
+                      self.dx).long()
+        geom_feats = geom_feats.view(Nprime, 3)
+        batch_ix = torch.cat([torch.full([Nprime // B, 1], ix,
+                                         dtype=torch.long)
+                              for ix in range(B)])
+        geom_feats = torch.cat((geom_feats, batch_ix), 1)
+        kept = ((geom_feats[:, 0] >= 0) & (geom_feats[:, 0] < nx[0]) &
+                (geom_feats[:, 1] >= 0) & (geom_feats[:, 1] < nx[1]) &
+                (geom_feats[:, 2] >= 0) & (geom_feats[:, 2] < nx[2]))
+        x, geom_feats = x[kept], geom_feats[kept]
+        ranks = (geom_feats[:, 0] * (nx[1] * nx[2] * B)
+                 + geom_feats[:, 1] * (nx[2] * B)
+                 + geom_feats[:, 2] * B + geom_feats[:, 3])
+        sorts = ranks.argsort()
+        x, geom_feats, ranks = x[sorts], geom_feats[sorts], ranks[sorts]
+        # cumsum trick (reference cumsum_trick:21-27)
+        x = x.cumsum(0)
+        keep = torch.ones(x.shape[0], dtype=torch.bool)
+        keep[:-1] = ranks[1:] != ranks[:-1]
+        x, geom_feats = x[keep], geom_feats[keep]
+        x = torch.cat((x[:1], x[1:] - x[:-1]))
+        final = torch.zeros((B, C, int(nx[2]), int(nx[1]), int(nx[0])))
+        final[geom_feats[:, 3], :, geom_feats[:, 2],
+              geom_feats[:, 1], geom_feats[:, 0]] = x
+        return torch.cat(final.unbind(dim=2), 1)      # [B, C*nz, ny, nx]
+
+    def forward(self, x, rots, trans, intrins, post_rots, post_trans):
+        B, N, C, H, W = x.shape
+        x = self.depthnet(x.view(B * N, C, H, W))
+        depth = x[:, :self.D].softmax(dim=1)
+        geom = self.get_geometry(rots, trans, intrins, post_rots,
+                                 post_trans)
+        img_feat = x[:, self.D:self.D + self.trans_ch]
+        volume = depth.unsqueeze(1) * img_feat.unsqueeze(2)
+        volume = volume.view(B, N, self.trans_ch, self.D, H, W)
+        volume = volume.permute(0, 1, 3, 4, 5, 2)     # [B,N,D,H,W,C]
+        return self.voxel_pooling(geom, volume)
+
+
+def test_lss_lift_splat_golden(rng):
+    """VERDICT r2 #5: the full lift-splat path — frustum layout,
+    geometry einsum chain, depth-softmax lift, and bev_pool — against
+    the reference's cumsum-trick voxel pooling, with non-trivial camera
+    rotations/augmentations so the geometry math is actually exercised
+    (including the .long() truncation band, see LSSGeometry.splat)."""
+    from scipy.spatial.transform import Rotation
+    from distillbev_tpu.models.necks.view_transformer import \
+        ViewTransformerLiftSplatShoot
+
+    grid = {"xbound": [-8.0, 8.0, 0.8], "ybound": [-8.0, 8.0, 0.8],
+            "zbound": [-10.0, 10.0, 20.0], "dbound": [1.0, 9.0, 1.0]}
+    data = {"input_size": (64, 96)}
+    in_ch, trans_ch, downsample = 24, 16, 16
+    b, n = 2, 3
+    fh, fw = 4, 6
+
+    tm = TorchLSS(grid, data, in_ch, trans_ch, downsample).eval()
+
+    x = rng.randn(b, n, fh, fw, in_ch).astype(np.float32)
+    # cameras looking outward with random small perturbations; post_*
+    # models a resize+crop+rot image aug (reference get_geometry undoes
+    # it before unprojecting)
+    rots = np.stack([np.stack([
+        Rotation.from_euler(
+            "zyx", [120.0 * i + rng.uniform(-10, 10),
+                    rng.uniform(-5, 5), 90 + rng.uniform(-5, 5)],
+            degrees=True).as_matrix().astype(np.float32)
+        for i in range(n)]) for _ in range(b)])
+    trans = rng.uniform(-1.5, 1.5, (b, n, 3)).astype(np.float32)
+    intrins = np.tile(np.array([[60.0, 0, 48], [0, 60.0, 32], [0, 0, 1]],
+                               np.float32), (b, n, 1, 1))
+    intrins[..., 0, 0] += rng.uniform(-3, 3, (b, n))
+    intrins[..., 1, 1] += rng.uniform(-3, 3, (b, n))
+    post_rot2 = np.stack([np.stack([
+        Rotation.from_euler("z", rng.uniform(-4, 4),
+                            degrees=True).as_matrix().astype(np.float32)
+        for _ in range(n)]) for _ in range(b)])
+    post_rots = post_rot2 * np.array([0.5, 0.5, 1.0], np.float32)[None]
+    post_rots[..., 2, 2] = 1.0
+    post_trans = np.concatenate(
+        [rng.uniform(-6, 6, (b, n, 2)), np.zeros((b, n, 1))],
+        axis=-1).astype(np.float32)
+
+    with torch.no_grad():
+        t_bev = tm(torch.from_numpy(np.transpose(
+            x, (0, 1, 4, 2, 3))), torch.from_numpy(rots),
+            torch.from_numpy(trans), torch.from_numpy(intrins),
+            torch.from_numpy(post_rots), torch.from_numpy(post_trans))
+
+    model = ViewTransformerLiftSplatShoot(
+        grid_config=grid, data_config=data, numC_input=in_ch,
+        numC_Trans=trans_ch, downsample=downsample)
+    inputs = tuple(jnp.asarray(v) for v in
+                   (x, rots, trans, intrins, post_rots, post_trans))
+    variables = model.init(jax.random.PRNGKey(0), inputs)
+    variables = {"params": {"depthnet": {
+        "kernel": jnp.asarray(np.transpose(
+            tm.depthnet.weight.detach().numpy(), (2, 3, 1, 0))),
+        "bias": jnp.asarray(tm.depthnet.bias.detach().numpy())}}}
+    j_bev = model.apply(variables, inputs, train=False)
+
+    # sanity: the splat actually received hits
+    assert float(jnp.abs(j_bev).sum()) > 0
+    np.testing.assert_allclose(
+        t_bev.numpy(), nchw(j_bev), rtol=1e-4, atol=2e-5)
