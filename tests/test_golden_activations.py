@@ -777,3 +777,247 @@ def test_lss_lift_splat_golden(rng):
     assert float(jnp.abs(j_bev).sum()) > 0
     np.testing.assert_allclose(
         t_bev.numpy(), nchw(j_bev), rtol=1e-4, atol=2e-5)
+
+
+# ---- one full BEVFormer encoder layer ----------------------------------
+
+class TorchTSA(nn.Module):
+    """Reference TemporalSelfAttention (temporal_self_attention.py:
+    19-266) in plain torch, num_bev_queue=2, batch_first, sampling via
+    the pure-torch grid_sample transcription.  bs=1 only: the
+    reference's offset conditioning reads ``value[:bs]`` which is the
+    per-batch prev slot only under bs=1 (interleaved (b, queue)
+    stacking); the shipped recipes train BEVFormer at
+    samples_per_gpu=1."""
+
+    def __init__(self, c, m, p, nq=2):
+        super().__init__()
+        self.c, self.m, self.p, self.nq = c, m, p, nq
+        self.sampling_offsets = nn.Linear(c * nq, nq * m * p * 2)
+        self.attention_weights = nn.Linear(c * nq, nq * m * p)
+        self.value_proj = nn.Linear(c, c)
+        self.output_proj = nn.Linear(c, c)
+
+    def forward(self, query, value, query_pos, reference_points, hw):
+        from test_golden_ops import torch_ms_deform_attn
+        bs, q, c = query.shape
+        m, p, nq = self.m, self.p, self.nq
+        if query_pos is not None:
+            query = query + query_pos
+        query = torch.cat([value[:bs], query], -1)
+        value = self.value_proj(value)
+        off = self.sampling_offsets(query).view(bs, q, m, nq, 1, p, 2)
+        wgt = self.attention_weights(query).view(bs, q, m, nq, p)
+        wgt = wgt.softmax(-1).view(bs, q, m, nq, 1, p)
+        wgt = wgt.permute(0, 3, 1, 2, 4, 5).reshape(bs * nq, q, m, 1, p)
+        off = off.permute(0, 3, 1, 2, 4, 5, 6).reshape(
+            bs * nq, q, m, 1, p, 2)
+        normalizer = torch.tensor([[hw[1], hw[0]]], dtype=torch.float)
+        locs = reference_points[:, :, None, :, None, :] + \
+            off / normalizer[None, None, None, :, None, :]
+        vh = value.view(bs * nq, q, m, c // m)
+        out = torch_ms_deform_attn(vh, (hw,), locs, wgt)  # [bs*nq, q, c]
+        out = out.permute(1, 2, 0).view(q, c, bs, nq).mean(-1)
+        return self.output_proj(out.permute(2, 0, 1))
+
+
+class TorchMSDA3D(nn.Module):
+    """Reference MSDeformableAttention3D (spatial_cross_attention.py:
+    178-397): z-anchored sampling, no output_proj in forward (the
+    unused Linear still exists in the state_dict)."""
+
+    def __init__(self, c, m, levels, p):
+        super().__init__()
+        self.c, self.m, self.levels, self.p = c, m, levels, p
+        self.sampling_offsets = nn.Linear(c, m * levels * p * 2)
+        self.attention_weights = nn.Linear(c, m * levels * p)
+        self.value_proj = nn.Linear(c, c)
+        self.output_proj = nn.Linear(c, c)   # present, unused
+
+    def forward(self, query, value, reference_points, shapes):
+        from test_golden_ops import torch_ms_deform_attn
+        bs, q, c = query.shape
+        m, L, p = self.m, self.levels, self.p
+        value = self.value_proj(value)
+        off = self.sampling_offsets(query).view(bs, q, m, L, p, 2)
+        wgt = self.attention_weights(query).view(bs, q, m, L * p)
+        wgt = wgt.softmax(-1).view(bs, q, m, L, p)
+        normalizer = torch.tensor([[w, h] for h, w in shapes],
+                                  dtype=torch.float)
+        nz = reference_points.shape[2]
+        ref = reference_points[:, :, None, None, None, :, :]
+        off = off / normalizer[None, None, None, :, None, :]
+        off = off.view(bs, q, m, L, p // nz, nz, 2)
+        locs = (ref + off).view(bs, q, m, L, p, 2)
+        vh = value.view(bs, value.shape[1], m, c // m)
+        return torch_ms_deform_attn(vh, shapes, locs, wgt)
+
+
+class TorchSCA(nn.Module):
+    """Reference SpatialCrossAttention (spatial_cross_attention.py:
+    31-176): dynamic per-camera query rebatching, slot scatter, hit
+    count normalization."""
+
+    def __init__(self, c, m, levels, p, num_cams):
+        super().__init__()
+        self.c, self.num_cams = c, num_cams
+        self.deformable_attention = TorchMSDA3D(c, m, levels, p)
+        self.output_proj = nn.Linear(c, c)
+
+    def forward(self, query, key, value, reference_points_cam, bev_mask,
+                shapes):
+        inp_residual = query
+        slots = torch.zeros_like(query)
+        bs, num_query, _ = query.size()
+        D = reference_points_cam.size(3)
+        indexes = [mask_per_img[0].sum(-1).nonzero().squeeze(-1)
+                   for mask_per_img in bev_mask]
+        max_len = max(len(each) for each in indexes)
+        queries_rebatch = query.new_zeros(
+            [bs, self.num_cams, max_len, self.c])
+        reference_points_rebatch = reference_points_cam.new_zeros(
+            [bs, self.num_cams, max_len, D, 2])
+        for j in range(bs):
+            for i, rp_img in enumerate(reference_points_cam):
+                idx = indexes[i]
+                queries_rebatch[j, i, :len(idx)] = query[j, idx]
+                reference_points_rebatch[j, i, :len(idx)] = rp_img[j, idx]
+        num_cams, l, bs_, _ = key.shape
+        key = key.permute(2, 0, 1, 3).reshape(bs * self.num_cams, l,
+                                              self.c)
+        value = value.permute(2, 0, 1, 3).reshape(bs * self.num_cams, l,
+                                                  self.c)
+        queries = self.deformable_attention(
+            queries_rebatch.view(bs * self.num_cams, max_len, self.c),
+            value, reference_points_rebatch.view(
+                bs * self.num_cams, max_len, D, 2), shapes).view(
+            bs, self.num_cams, max_len, self.c)
+        for j in range(bs):
+            for i, idx in enumerate(indexes):
+                slots[j, idx] += queries[j, i, :len(idx)]
+        count = bev_mask.sum(-1) > 0
+        count = count.permute(1, 2, 0).sum(-1).clamp(min=1.0)
+        slots = self.output_proj(slots / count[..., None])
+        return slots + inp_residual
+
+
+class TorchBEVFormerLayer(nn.Module):
+    """Reference BEVFormerLayer (encoder.py:238-404): TSA -> LN -> SCA
+    -> LN -> FFN -> LN with mmcv state_dict naming (attentions.{0,1},
+    norms.{0..2}, ffns.0.layers)."""
+
+    def __init__(self, c, m, levels, p_sca, p_tsa, ffc, num_cams):
+        super().__init__()
+        self.attentions = nn.ModuleList([
+            TorchTSA(c, m, p_tsa),
+            TorchSCA(c, m, levels, p_sca, num_cams)])
+        self.norms = nn.ModuleList([nn.LayerNorm(c) for _ in range(3)])
+        ffn = nn.Module()
+        ffn.layers = nn.Sequential(
+            nn.Sequential(nn.Linear(c, ffc), nn.ReLU(), nn.Dropout(0.0)),
+            nn.Linear(ffc, c), nn.Dropout(0.0))
+        self.ffns = nn.ModuleList([ffn])
+
+    def forward(self, query, key, value, bev_pos, hybrid_ref_2d,
+                reference_points_cam, bev_mask, shapes, bev_hw,
+                prev_stack):
+        q = self.attentions[0](query, prev_stack, bev_pos,
+                               hybrid_ref_2d, bev_hw) + query
+        q = self.norms[0](q)
+        q = self.attentions[1](q, key, value, reference_points_cam,
+                               bev_mask, shapes)
+        q = self.norms[1](q)
+        q = self.ffns[0].layers(q) + q
+        return self.norms[2](q)
+
+
+def test_bevformer_encoder_layer_golden(rng):
+    """VERDICT r2 #5: one full BEVFormer encoder layer — TSA queue
+    folding and output averaging, SCA rebatching vs the static top-K
+    budget, z-anchor offset splitting, LN placement, FFN — against the
+    reference transcription through the REAL bevformer_name_map."""
+    from convert_torch_ckpt import bevformer_name_map
+    from test_model_bevformer import nuscenes_like_lidar2img
+    from distillbev_tpu.models.transformer.encoder import (
+        BEVFormerLayer, get_reference_points_2d, get_reference_points_3d,
+        point_sampling)
+
+    c, m, levels, p_sca, p_tsa, ffc = 32, 4, 2, 4, 4, 64
+    n_cam, bs = 6, 1
+    bev_h = bev_w = 12
+    q = bev_h * bev_w
+    nz = 2                       # points-in-pillar (z anchors)
+    shapes = ((8, 12), (4, 6))
+    nv = sum(h * w for h, w in shapes)
+    pcr = [-51.2, -51.2, -5.0, 51.2, 51.2, 3.0]
+    img_shape = (900, 1600)
+
+    tm = TorchBEVFormerLayer(c, m, levels, p_sca, p_tsa, ffc,
+                             n_cam).eval()
+    # non-trivial sampling-offset biases (the real grid init is part of
+    # the converted state)
+    with torch.no_grad():
+        tm.attentions[0].sampling_offsets.bias.uniform_(-2.0, 2.0)
+        tm.attentions[1].deformable_attention.sampling_offsets.bias \
+            .uniform_(-2.0, 2.0)
+
+    # real 6-camera projection geometry -> shared ref_cam / bev_mask
+    l2i = jnp.asarray(np.tile(nuscenes_like_lidar2img()[None],
+                              (bs, 1, 1, 1)))
+    ref_3d = jnp.asarray(get_reference_points_3d(
+        bev_h, bev_w, pcr[5] - pcr[2], nz))
+    ref_cam, bev_mask = point_sampling(ref_3d, pcr, l2i, img_shape)
+    ref_cam = np.asarray(ref_cam)             # [N, B, Q, nz, 2]
+    bev_mask_np = np.asarray(bev_mask)
+    assert bev_mask_np.any()
+
+    query = rng.randn(bs, q, c).astype(np.float32)
+    prev_bev = rng.randn(bs, q, c).astype(np.float32)
+    bev_pos = rng.randn(bs, q, c).astype(np.float32)
+    val_cam = rng.randn(bs, n_cam, nv, c).astype(np.float32)
+    shift = np.array([[0.013, -0.02]], np.float32)
+
+    ref_2d = np.broadcast_to(
+        np.asarray(get_reference_points_2d(bev_h, bev_w))[None],
+        (bs, q, 1, 2)).copy()
+
+    with torch.no_grad():
+        prev_stack = torch.from_numpy(np.stack(
+            [prev_bev, query], axis=1).reshape(bs * 2, q, c))
+        hybrid = torch.from_numpy(np.stack(
+            [ref_2d + shift[:, None, None, :], ref_2d],
+            axis=1).reshape(bs * 2, q, 1, 2))
+        # torch key/value layout [num_cam, l, bs, c]
+        kv = torch.from_numpy(np.transpose(val_cam, (1, 2, 0, 3)))
+        t_out = tm(torch.from_numpy(query), kv, kv,
+                   torch.from_numpy(bev_pos), hybrid,
+                   torch.from_numpy(ref_cam),
+                   torch.from_numpy(bev_mask_np), shapes,
+                   (bev_h, bev_w), prev_stack)
+
+    layer = BEVFormerLayer(
+        embed_dims=c, num_heads=m, feedforward_channels=ffc,
+        num_levels=levels, num_points_sca=p_sca, num_points_tsa=p_tsa,
+        num_cams=n_cam)
+    args = (jnp.asarray(query), jnp.asarray(val_cam),
+            jnp.asarray(prev_bev), jnp.asarray(ref_2d),
+            jnp.asarray(ref_cam), jnp.asarray(bev_mask_np),
+            jnp.asarray(bev_pos), shapes, (bev_h, bev_w),
+            jnp.asarray(shift))
+    variables = layer.init(jax.random.PRNGKey(0), *args)
+
+    pm, _ = bevformer_name_map(num_enc_layers=1)
+    enc = "pts_bbox_head.transformer.encoder.layers.0."
+    layer_pm = {k[len(enc):]: v[4:] for k, v in pm.items()
+                if k.startswith(enc)}
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    # the unused inner output_proj exists in torch but has no flax
+    # target (the converter deletes it too)
+    for suffix in (".weight", ".bias"):
+        del sd["attentions.1.deformable_attention.output_proj" + suffix]
+    params, _, missing = map_params(sd, layer_pm, variables["params"])
+    assert not missing, missing
+    j_out = layer.apply({"params": params}, *args, train=False)
+
+    np.testing.assert_allclose(t_out.numpy(), np.asarray(j_out),
+                               rtol=1e-4, atol=1e-4)
