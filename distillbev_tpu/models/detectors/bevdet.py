@@ -209,19 +209,25 @@ class BEVDepth4D(_BEVDetBase):
         imgs = inputs.imgs
         b, fn, h, w, _ = imgs.shape
         n = fn // 2
-        # one batched pass over both frames through the image encoder
-        x = self.image_encoder(imgs, train=train)          # [B, 2N, fh, fw, C]
-        fh, fw, cc = x.shape[2], x.shape[3], x.shape[4]
-        x2 = x.reshape(b, 2, n, fh, fw, cc)
+        # PER-FRAME image-encoder passes (the reference loops frames,
+        # bevdet.py:225/346 — per-frame BN batch stats).  Decisive on
+        # TPU: each frame's encoder ops are distinct jaxpr equations,
+        # so the ``detach`` below prunes frame 1's ENTIRE backward at
+        # trace time.  A single batched 2N-view pass shares the conv
+        # ops between frames and the transposes then run full-width
+        # against a half-zero cotangent — ~N extra R50-view backwards
+        # per step (~50 ms at flagship sizes).
+        imgs2 = imgs.reshape(b, 2, n, h, w, imgs.shape[-1])
 
         bev_list = []
         depth0 = None
         for f in range(2):
+            x = self.image_encoder(imgs2[:, f], train=train)
             # geometry uses the *current* frame extrinsics for both frames
             # (adjacent cams are ego-aligned by the pipeline; reference
             # bevdet_distill_more.py:393-395)
             out = self.view_transformer(
-                (x2[:, f], inputs.rots[:, 0], inputs.trans[:, 0],
+                (x, inputs.rots[:, 0], inputs.trans[:, 0],
                  inputs.intrins[:, f], inputs.post_rots[:, f],
                  inputs.post_trans[:, f]), train=train)
             if isinstance(out, tuple):
