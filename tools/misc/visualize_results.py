@@ -27,7 +27,8 @@ def main():
                    help="results pickle from tools/test.py --out")
     p.add_argument("--show-dir", default="work_dirs/vis_results")
     p.add_argument("--num-samples", type=int, default=10)
-    p.add_argument("--cfg-options", nargs="+", action=DictAction)
+    p.add_argument("--cfg-options", nargs="+",
+                   action=DictAction.argparse())
     args = p.parse_args()
 
     cfg = Config.fromfile(args.config)
