@@ -150,6 +150,10 @@ train_pipeline = [
     dict(type="PointsRangeFilter", point_cloud_range=point_cloud_range),
     dict(type="ObjectRangeFilter", point_cloud_range=point_cloud_range),
     dict(type="ObjectNameFilter", classes=class_names),
+    # host-side pillar-key sort (matches the teacher's pts_voxel_layer):
+    # lets the teacher's fused pillar path skip its on-device sort+gather
+    dict(type="SortPointsByPillar", voxel_size=[0.2, 0.2, 8],
+         point_cloud_range=point_cloud_range),
     dict(type="DefaultFormatBundle3D", class_names=class_names),
     dict(type="Collect3D",
          keys=["points", "gt_bboxes_3d", "img_inputs"]),

@@ -92,6 +92,9 @@ def centerpoint_teacher_cfg():
     train_cfg, test_cfg = _train_test_cfg(512, 4)
     return dict(
         type="CenterPoint",
+        # make_example_batch / the shipped pipeline's SortPointsByPillar
+        # deliver pillar-key-sorted points: skip the on-device sort
+        presorted_points=True,
         pts_voxel_layer=dict(max_num_points=20, voxel_size=VOXEL_SIZE,
                              point_cloud_range=POINT_CLOUD_RANGE,
                              max_voxels=(30000, 40000)),
@@ -184,6 +187,29 @@ def bevdepth4d_distill_cfg(img_backbone_depth: int = 50):
         train_cfg=train_cfg, test_cfg=test_cfg)
 
 
+def sort_points_by_pillar(pts: np.ndarray,
+                          voxel_size=None,
+                          point_cloud_range=None) -> np.ndarray:
+    """Host-side pillar-key sort of [B, N, 5] points — what the shipped
+    pipeline's SortPointsByPillar transform does per sample
+    (datasets/pipelines/transforms_3d.py), applied here to synthetic
+    batches so the teacher's presorted fast path is exercised."""
+    vs = np.asarray(voxel_size or VOXEL_SIZE, np.float32)
+    pcr = point_cloud_range or POINT_CLOUD_RANGE
+    lo = np.asarray(pcr[:3], np.float32)
+    hi = np.asarray(pcr[3:], np.float32)
+    grid = np.floor((hi - lo) / vs + 0.5).astype(np.int64)
+    out = np.empty_like(pts)
+    for b in range(pts.shape[0]):
+        c = np.floor((pts[b, :, :3] - lo) / vs).astype(np.int64)
+        valid = ((c >= 0).all(1) & (c[:, 0] < grid[0]) &
+                 (c[:, 1] < grid[1]) & (c[:, 2] < grid[2]))
+        key = (c[:, 2] * grid[1] + c[:, 1]) * grid[0] + c[:, 0]
+        key = np.where(valid, key, np.iinfo(np.int64).max)
+        out[b] = pts[b, np.argsort(key, kind="stable")]
+    return out
+
+
 def make_example_batch(batch_size: int = 1, n_points: int = MAX_POINTS,
                        n_cams: int = 6, img_hw: Tuple[int, int] = (256,
                                                                    704),
@@ -238,6 +264,7 @@ def make_example_batch(batch_size: int = 1, n_points: int = MAX_POINTS,
     pts[..., 2] = rng.uniform(-4, 2, (batch_size, n_points))
     pts[..., 3] = rng.uniform(0, 255, (batch_size, n_points))
     pts[..., 4] = rng.uniform(0, 0.5, (batch_size, n_points))
+    pts = sort_points_by_pillar(pts)
     point_mask = np.ones((batch_size, n_points), bool)
 
     gt = np.zeros((batch_size, MAX_OBJS, 9), np.float32)

@@ -71,6 +71,47 @@ def batch_to_device(batch: Dict, family: str):
     raise NotImplementedError(family)
 
 
+def _train_pipeline_of(cfg):
+    """The train pipeline list, unwrapping CBGS/RepeatDataset nests."""
+    d = cfg.data["train"]
+    while isinstance(d, dict) and "pipeline" not in d and "dataset" in d:
+        d = d["dataset"]
+    return (d or {}).get("pipeline", []) if isinstance(d, dict) else []
+
+def _apply_presort_hint(cfg, t_model_cfg, logger=None):
+    """Enable the teacher's presorted-points fast path when (and only
+    when) the train pipeline carries a matching SortPointsByPillar.
+
+    The device path (ops/voxelize.py sorted_voxel_info presorted=True)
+    silently produces wrong pillars if the contract is violated, so
+    this is the single switch point: auto-ON when the transform's
+    (voxel_size, point_cloud_range) equal the teacher's
+    pts_voxel_layer's, hard error if the config claims presorted
+    without the transform."""
+    if t_model_cfg.get("type") != "CenterPoint":
+        return
+    vl = t_model_cfg.get("pts_voxel_layer") or {}
+    match = False
+    for tr in _train_pipeline_of(cfg):
+        if isinstance(tr, dict) and tr.get("type") == "SortPointsByPillar":
+            match = (list(tr["voxel_size"]) == list(vl.get(
+                "voxel_size", [])) and
+                list(tr["point_cloud_range"]) == list(vl.get(
+                    "point_cloud_range", [])))
+            break
+    if t_model_cfg.get("presorted_points") and not match:
+        raise ValueError(
+            "teacher presorted_points=True but the train pipeline has "
+            "no SortPointsByPillar matching its pts_voxel_layer "
+            f"(voxel_size={vl.get('voxel_size')}, "
+            f"point_cloud_range={vl.get('point_cloud_range')})")
+    if match and not t_model_cfg.get("presorted_points"):
+        t_model_cfg["presorted_points"] = True
+        if logger is not None:
+            logger.info("teacher presorted-points fast path enabled "
+                        "(SortPointsByPillar found in train pipeline)")
+
+
 def train_model(cfg, work_dir: str, resume_from: Optional[str] = None,
                 max_steps_per_epoch: Optional[int] = None,
                 logger=None):
@@ -127,7 +168,9 @@ def train_model(cfg, work_dir: str, resume_from: Optional[str] = None,
         t_cfg = Config.fromfile(model_cfg["teacher_config"]) \
             if isinstance(model_cfg.get("teacher_config"), str) else \
             Config(dict(model=model_cfg["teacher_config"]))
-        teacher = build_detector(dict(t_cfg.model))
+        t_model_cfg = dict(t_cfg.model)
+        _apply_presort_hint(cfg, t_model_cfg, logger)
+        teacher = build_detector(t_model_cfg)
 
     # init on a single sample
     first = next(iter(loader))

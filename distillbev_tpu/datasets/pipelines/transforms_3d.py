@@ -138,6 +138,54 @@ class PointsRangeFilter:
 
 
 @PIPELINES.register_module()
+class SortPointsByPillar:
+    """Host-side stable sort of the cloud by flat pillar/voxel key.
+
+    TPU-system optimization with no reference counterpart (the CUDA
+    voxelizer hashes with atomics on device): sorting here lets the
+    on-device fused pillar path (``ops.voxelize.sorted_voxel_info``
+    with ``presorted=True``) skip its XLA sort + sorted-row gather —
+    ~22 ms/step at 4 x 300k points, off the chip's critical path and
+    onto the (parallel, prefetched) loader workers for ~5 ms of numpy.
+
+    The key math mirrors ``ops.voxelize.compute_voxel_coords`` in
+    float32 exactly: coord = floor((p - lo) / vs), key =
+    (z*gy + y)*gx + x, out-of-range rows pushed last.  Place AFTER
+    every point-mutating transform (aug, range filter), right before
+    the format bundle; ``apis.train`` matches (voxel_size,
+    point_cloud_range) against the teacher's pts_voxel_layer before
+    enabling the device fast path.
+    """
+
+    def __init__(self, voxel_size, point_cloud_range):
+        self.voxel_size = list(voxel_size)
+        self.point_cloud_range = list(point_cloud_range)
+        self._vs = np.asarray(voxel_size, np.float32)
+        self._lo = np.asarray(point_cloud_range[:3], np.float32)
+        hi = np.asarray(point_cloud_range[3:], np.float32)
+        self._grid = np.floor(
+            (hi - self._lo) / self._vs + 0.5).astype(np.int64)
+
+    def __call__(self, results):
+        pts = results["points"].tensor
+        c = np.floor(
+            (pts[:, :3].astype(np.float32) - self._lo) / self._vs
+        ).astype(np.int64)
+        gx, gy, gz = self._grid
+        valid = ((c[:, 0] >= 0) & (c[:, 0] < gx) &
+                 (c[:, 1] >= 0) & (c[:, 1] < gy) &
+                 (c[:, 2] >= 0) & (c[:, 2] < gz))
+        key = (c[:, 2] * gy + c[:, 1]) * gx + c[:, 0]
+        key = np.where(valid, key, np.iinfo(np.int64).max)
+        order = np.argsort(key, kind="stable")
+        results["points"].tensor = pts[order]
+        results["points_presorted"] = dict(
+            voxel_size=self.voxel_size,
+            point_cloud_range=self.point_cloud_range)
+        return results
+
+
+@PIPELINES.register_module()
 class ObjectRangeFilter:
 
     def __init__(self, point_cloud_range):

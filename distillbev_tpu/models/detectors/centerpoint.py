@@ -60,6 +60,11 @@ class CenterPoint(nn.Module):
     # cast the scatter canvas before SECOND/FPN (e.g. "bfloat16"): the
     # dense BEV convs are bandwidth bound; geometry/VFE stats stay fp32
     backbone_dtype: Any = None
+    # points arrive pre-sorted by pillar key from the host pipeline
+    # (SortPointsByPillar with THIS model's voxel_size/pc_range):
+    # skips the on-device sort + sorted-row gather in the fused path.
+    # apis/train verifies the pipeline matches before enabling this.
+    presorted_points: bool = False
 
     def setup(self):
         self.voxel_encoder = build_voxel_encoder(
@@ -98,7 +103,8 @@ class CenterPoint(nn.Module):
         """Sorted-pillar fast path (no [V, P, C] materialization)."""
         vs, pcr, max_points, max_voxels = self._voxel_layer_args()
         info = jax.vmap(lambda p, m: sorted_voxel_info(
-            p, m, vs, pcr, max_points, max_voxels))(points, point_mask)
+            p, m, vs, pcr, max_points, max_voxels,
+            presorted=self.presorted_points))(points, point_mask)
         b, n, c = points.shape
         v = max_voxels
         # fold batch into the segment axis: sample i's voxels live in
