@@ -45,8 +45,13 @@ def main():
     # the fused sorted-pillar path replaced; the full step now compiles
     # in ~2 min and runs ~10% faster than fp32.  BENCH_PRECISION=f32
     # opts out.
+    # BENCH_ACCUM>1: gradient microbatching (lax.scan over
+    # batch_size/BENCH_ACCUM microbatches, one optimizer update) — large
+    # effective batch at the HBM working set of one microbatch
+    accum = int(os.environ.get("BENCH_ACCUM", "1"))
     step_fn = jax.jit(make_distill_train_step(
-        student, teacher, tx, mixed_precision=mixed),
+        student, teacher, tx, mixed_precision=mixed,
+        accum_steps=accum),
         donate_argnums=(0,))
 
     epoch = jnp.float32(1.0)

@@ -285,8 +285,13 @@ def train_model(cfg, work_dir: str, resume_from: Optional[str] = None,
                 seed=cfg.get("seed", 0))
         step_fn = jax.jit(raw_step, donate_argnums=(0,))
     elif is_distill:
+        # accum_steps>1: gradient microbatching — the effective batch of
+        # the reference's samples_per_gpu=8 recipes with the activation
+        # working set of samples_per_gpu/accum_steps (the B>4 HBM knee,
+        # docs/PERF.md "Batch size")
         step_fn = jax.jit(make_distill_train_step(
-            model, teacher, tx, mixed_precision=mixed),
+            model, teacher, tx, mixed_precision=mixed,
+            accum_steps=int(cfg.get("accum_steps", 1))),
             donate_argnums=(0,))
     else:
         base_step = make_detector_train_step(model, tx)

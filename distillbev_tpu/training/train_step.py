@@ -100,7 +100,8 @@ def _full(tree):
 def make_distill_train_step(student, teacher, tx,
                             use_depth_loss: bool = True,
                             mixed_precision: bool = False,
-                            show_teacher_loss: bool = False) -> Callable:
+                            show_teacher_loss: bool = False,
+                            accum_steps: int = 1) -> Callable:
     """Distillation train step: student det loss + depth loss + distill
     losses, teacher frozen (reference BEVDepth4DDistill.forward_train,
     bevdet_distill_more.py:457-520).
@@ -109,27 +110,21 @@ def make_distill_train_step(student, teacher, tx,
     per-step; fp32 master weights live in the optimizer) — the TPU
     counterpart of the reference's Fp16OptimizerHook + force_fp32
     boundaries (losses, geometry and BN statistics stay fp32 by
-    construction in our modules)."""
+    construction in our modules).
 
-    def train_step(state: TrainState, teacher_variables,
-                   batch: DistillBatch, epoch: jnp.ndarray):
+    accum_steps>1 splits the batch into that many microbatches and runs
+    them sequentially under ``lax.scan``, averaging gradients before the
+    single optimizer update — large effective batches (the reference
+    trains at samples_per_gpu=8) with the activation working set of one
+    microbatch.  BN batch statistics are computed per microbatch and the
+    EMA updates averaged, which matches the reference's per-GPU BN
+    semantics under DDP (each GPU normalizes over its own samples_per_gpu
+    slice; apis/mmdet_train.py:72-86 never syncs BN for these recipes)."""
+
+    def _grads_one_batch(params, batch_stats, teacher_variables,
+                         batch: DistillBatch, epoch: jnp.ndarray):
+        """(grads, total, losses, new_stats) for one (micro)batch."""
         gt = gravity_centered(batch.gt_boxes)
-        if mixed_precision:
-            # images to bf16 (the student image path is the FLOPs bulk);
-            # points stay fp32 — voxel coordinates need the mantissa
-            batch = batch._replace(
-                img_inputs=batch.img_inputs._replace(
-                    imgs=batch.img_inputs.imgs.astype(jnp.bfloat16)))
-            # teacher params to bf16 too (batch_stats stay fp32 — BN
-            # normalizes in fp32 internally).  With the teacher's
-            # compute_dtype/backbone_dtype set this halves its conv
-            # bandwidth (measured 66 -> 56 ms at flagship sizes, 0.14%
-            # mean-rel feature diff); with an fp32-configured teacher the
-            # activations promote back to fp32 and numerics are unchanged
-            teacher_variables = dict(teacher_variables)
-            teacher_variables["params"] = _half(
-                teacher_variables["params"])
-
         # frozen teacher forward — no grads, XLA overlaps it freely
         t_preds, t_bundle = teacher.apply(
             teacher_variables, batch.points, batch.point_mask,
@@ -152,7 +147,7 @@ def make_distill_train_step(student, teacher, tx,
         def loss_fn(params):
             variables = {"params": _half(params) if mixed_precision
                          else params,
-                         "batch_stats": state.batch_stats}
+                         "batch_stats": batch_stats}
             (preds, bundle, depth), new_state = student.apply(
                 variables, batch.img_inputs, train=True,
                 mutable=["batch_stats"])
@@ -179,12 +174,75 @@ def make_distill_train_step(student, teacher, tx,
             return total, (losses, new_state["batch_stats"])
 
         (total, (losses, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            loss_fn, has_aux=True)(params)
+        losses = dict(losses)
+        losses.update(teacher_metrics)
+        return grads, total, losses, new_stats
+
+    def train_step(state: TrainState, teacher_variables,
+                   batch: DistillBatch, epoch: jnp.ndarray):
+        if mixed_precision:
+            # images to bf16 (the student image path is the FLOPs bulk);
+            # points stay fp32 — voxel coordinates need the mantissa
+            batch = batch._replace(
+                img_inputs=batch.img_inputs._replace(
+                    imgs=batch.img_inputs.imgs.astype(jnp.bfloat16)))
+            # teacher params to bf16 too (batch_stats stay fp32 — BN
+            # normalizes in fp32 internally).  With the teacher's
+            # compute_dtype/backbone_dtype set this halves its conv
+            # bandwidth (measured 66 -> 56 ms at flagship sizes, 0.14%
+            # mean-rel feature diff); with an fp32-configured teacher the
+            # activations promote back to fp32 and numerics are unchanged
+            teacher_variables = dict(teacher_variables)
+            teacher_variables["params"] = _half(
+                teacher_variables["params"])
+
+        if accum_steps <= 1:
+            grads, total, losses, new_stats = _grads_one_batch(
+                state.params, state.batch_stats, teacher_variables,
+                batch, epoch)
+        else:
+            # [B, ...] -> [A, B//A, ...]; scan forces sequential
+            # microbatch execution, so peak activation memory is one
+            # microbatch's
+            def split(x):
+                if x is None or not hasattr(x, "shape"):
+                    return x
+                b = x.shape[0]
+                if b % accum_steps:
+                    raise ValueError(
+                        f"batch size {b} not divisible by "
+                        f"accum_steps={accum_steps}")
+                return x.reshape((accum_steps, b // accum_steps)
+                                 + x.shape[1:])
+
+            micro = jax.tree_util.tree_map(split, batch)
+
+            def body(carry, mb):
+                g_acc, s_acc = carry
+                grads, total, losses, new_stats = _grads_one_batch(
+                    state.params, state.batch_stats, teacher_variables,
+                    mb, epoch)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+                s_acc = jax.tree_util.tree_map(jnp.add, s_acc, new_stats)
+                return (g_acc, s_acc), (total, losses)
+
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            s0 = jax.tree_util.tree_map(jnp.zeros_like,
+                                        state.batch_stats)
+            (g_acc, s_acc), (totals, losses_stk) = jax.lax.scan(
+                body, (g0, s0), micro)
+            inv = 1.0 / accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g * inv, g_acc)
+            new_stats = jax.tree_util.tree_map(lambda s: s * inv, s_acc)
+            total = totals.mean()
+            losses = jax.tree_util.tree_map(lambda l: l.mean(),
+                                            losses_stk)
+
         updates, opt_state = tx.update(grads, state.opt_state,
                                        state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
-        metrics.update(teacher_metrics)
         metrics["total_loss"] = total
         metrics["grad_norm"] = optax.global_norm(grads)
         return TrainState(params, new_stats, opt_state,

@@ -173,6 +173,70 @@ def test_distill_train_step_mixed_precision(rng, cpu_devices):
                if hasattr(l, "dtype") and l.ndim >= 1)
 
 
+def test_distill_grad_accumulation_equivalence(rng):
+    """accum_steps=2 on a batch whose halves are identical must produce
+    the same update as accum_steps=1 on that batch: per-microbatch grads
+    and BN moments are identical to the full-batch ones when the halves
+    duplicate each other, so the averaged accumulator must agree (this is
+    exactly the reference's per-GPU DDP semantics — grads averaged over
+    per-GPU slices, apis/mmdet_train.py:72-86).
+
+    Tolerances: the head losses normalize by ``avg_factor + 1e-4``
+    (reference convention), which breaks exact 2x scaling at this test's
+    tiny positive counts (~2.5e-5 rel), and fp32 conv/BN backward
+    reduction-order noise through the deep student amplifies to ~1e-2 on
+    the gradient norm; a scaling bug (the thing this test pins) is a 2x
+    error.  Gradients are read out exactly as the negated update of a
+    plain SGD(lr=1, no clip) step — comparing post-AdamW params instead
+    would amplify noise-level grad sign flips to O(1) (first-step Adam is
+    elementwise sign-like)."""
+    import jax.numpy as jnp
+    teacher = build_detector(tiny_centerpoint_cfg())
+    pts1, mask1, gt1, labels1, gmask1 = make_batch(rng, b=1, n=64)
+    dup = lambda x: np.concatenate([x, x], axis=0)
+    pts, mask, gt, labels, gmask = map(
+        dup, (pts1, mask1, gt1, labels1, gmask1))
+    tvars = teacher.init(jax.random.PRNGKey(1), pts1, mask1)
+    _, t_bundle = teacher.apply(tvars, pts1, mask1)
+    student = build_detector(distill_cfg())
+    inputs1 = make_inputs(rng, b=1)
+    svars = student.init(jax.random.PRNGKey(0), inputs1, t_bundle,
+                         method="init_with_teacher")
+    import optax as _optax
+    tx = _optax.sgd(1.0)
+    state = init_train_state(svars["params"],
+                             svars.get("batch_stats", {}), tx)
+    from distillbev_tpu.training import make_distill_train_step
+    inputs = jax.tree_util.tree_map(
+        lambda x: dup(np.asarray(x)) if x is not None else None, inputs1)
+    batch = DistillBatch(inputs, pts, mask, gt, labels, gmask)
+    epoch = jnp.float32(1.0)
+    step1 = jax.jit(make_distill_train_step(student, teacher, tx))
+    step2 = jax.jit(make_distill_train_step(student, teacher, tx,
+                                            accum_steps=2))
+    st1, m1 = step1(state, tvars, batch, epoch)
+    st2, m2 = step2(state, tvars, batch, epoch)
+    assert float(m1["total_loss"]) == pytest.approx(
+        float(m2["total_loss"]), rel=1e-3)
+    assert float(m1["grad_norm"]) == pytest.approx(
+        float(m2["grad_norm"]), rel=3e-2)
+    # grads = params_before - params_after under SGD(1.0)
+    sq_diff = sq_ref = 0.0
+    for p0, a, b in zip(jax.tree_util.tree_leaves(svars["params"]),
+                        jax.tree_util.tree_leaves(st1.params),
+                        jax.tree_util.tree_leaves(st2.params)):
+        g1 = np.asarray(p0, np.float64) - np.asarray(a, np.float64)
+        g2 = np.asarray(p0, np.float64) - np.asarray(b, np.float64)
+        sq_diff += float(((g1 - g2) ** 2).sum())
+        sq_ref += float((g1 ** 2).sum())
+    assert sq_diff <= (3e-2) ** 2 * sq_ref
+    # BN statistics: forward-only moments over identical data
+    for a, b in zip(jax.tree_util.tree_leaves(st1.batch_stats),
+                    jax.tree_util.tree_leaves(st2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
 def test_momentum_schedule_injects():
     from distillbev_tpu.training.schedules import cyclic_momentum
     params = {"w": jnp.ones((4,))}
