@@ -12,15 +12,72 @@ axis), modulation is a broadcast multiply, and the conv itself becomes a
 single ``[B*H*W, K*C] x [K*C, C_out]`` matmul on the MXU.  Everything is
 static-shape and fully differentiable (gathers transpose to scatters in
 the VJP automatically).
+
+Small input grids additionally take a dense separable-lerp matmul path
+(same trick as ops/ms_deform_attn's small FPN levels, docs/PERF.md):
+bilinear lerp weights factorize per axis (w = wy(y)*wx(x)), and the
+per-axis OOB mask factorizes too, so sampling all K taps of all output
+pixels is ONE MXU matmul ``lhs[(q*K) rows, cells] @ grid[cells, C]``
+with modulation folded into the lhs build — and the backward's dvalue
+is ``lhs^T @ dout``, NO scatter.  Gathers pay random-row HBM latency
+fwd AND a slower scatter-add bwd.  Measured at the flagship depth-net
+shape ([24, 16, 44, 256], K=9, bf16) the two are a WASH (fwd+bwd 4.46
+vs 4.42 ms/call — the DCN's 152k sample rows are too few for HBM
+random-row latency to dominate), so the gate defaults OFF
+(``DISTILLBEV_DCN_DENSE_MAX_CELLS``, default 0 = always gather); the
+path stays for bigger-K/smaller-grid configs and is parity-tested.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from .grid_sample import bilinear_sample_pixels
+
+_DENSE_MAX_CELLS = int(os.environ.get(
+    "DISTILLBEV_DCN_DENSE_MAX_CELLS", 0))
+
+
+def _axis_weights(t: jnp.ndarray, n: int, dt) -> jnp.ndarray:
+    """Per-axis lerp weight rows: ``t [...]`` pixel coords ->
+    ``[..., n+2]`` two-hot rows on the 1px-zero-padded axis.  Matches
+    bilinear_sample_pixels' per-corner OOB zeroing: a corner is live iff
+    floor(t) is in [-1, n-1] (the padded cells 0 and n+1 are zeros, so a
+    half-out sample reads real data on one side and zero on the other).
+    Built as two one-hot compares — an einsum/matmul here would hit the
+    batched-tiny-matmul pathology (docs/PERF.md)."""
+    t0 = jnp.floor(t)
+    l = (t - t0).astype(dt)
+    ok = (t0 >= -1) & (t0 <= n - 1)
+    t0i = jnp.clip(t0, -1, n - 1).astype(jnp.int32) + 1
+    z = jnp.zeros_like(l)
+    idx = jnp.arange(n + 2, dtype=jnp.int32)
+    return (jnp.where(idx == t0i[..., None],
+                      jnp.where(ok, 1 - l, z)[..., None], 0) +
+            jnp.where(idx == t0i[..., None] + 1,
+                      jnp.where(ok, l, z)[..., None], 0))
+
+
+def _sample_dense(x: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray,
+                  mask: jnp.ndarray) -> jnp.ndarray:
+    """Modulated bilinear sampling as one dense matmul.
+
+    x [B, H, W, C]; py/px [B, R] fp32 pixel coords (R = Ho*Wo*K);
+    mask [B, R] modulation.  Returns [B, R, C] == modulated samples.
+    """
+    b, h, w, c = x.shape
+    dt = x.dtype
+    grid = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    grid = grid.reshape(b, (h + 2) * (w + 2), c)
+    wy = _axis_weights(py, h, dt) * mask.astype(dt)[..., None]
+    wx = _axis_weights(px, w, dt)
+    lhs = (wy[..., :, None] * wx[..., None, :]).reshape(
+        b, -1, (h + 2) * (w + 2))
+    return jnp.matmul(
+        lhs, grid, preferred_element_type=jnp.float32).astype(dt)
 
 
 def modulated_deform_conv2d(x: jnp.ndarray,
@@ -62,10 +119,15 @@ def modulated_deform_conv2d(x: jnp.ndarray,
     py = oy[None, :, None, None] + ty[None, None, None, :] + off[..., 0]
     px = ox[None, None, :, None] + tx[None, None, None, :] + off[..., 1]
 
-    samples = bilinear_sample_pixels(
-        x, px.reshape(b, ho, wo * k), py.reshape(b, ho, wo * k))
-    samples = samples.reshape(b, ho, wo, k, c)
-    samples = samples * mask[..., None]
+    if (h + 2) * (w + 2) <= _DENSE_MAX_CELLS:
+        samples = _sample_dense(x, py.reshape(b, -1), px.reshape(b, -1),
+                                mask.reshape(b, -1))
+        samples = samples.reshape(b, ho, wo, k, c)
+    else:
+        samples = bilinear_sample_pixels(
+            x, px.reshape(b, ho, wo * k), py.reshape(b, ho, wo * k))
+        samples = samples.reshape(b, ho, wo, k, c)
+        samples = samples * mask[..., None]
 
     out = jnp.einsum("bhwkc,kco->bhwo", samples,
                      weight.reshape(k, c, c_out),

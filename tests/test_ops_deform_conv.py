@@ -82,3 +82,41 @@ def test_stride_two(rng):
     params = mod.init(jax.random.PRNGKey(0), x)
     out = mod.apply(params, x)
     assert out.shape == (1, 4, 4, 5)
+
+
+def test_dense_path_matches_gather_path(rng):
+    # the small-grid dense separable-lerp matmul path must agree with
+    # the 4-corner gather path in outputs AND grads, including samples
+    # pushed (partially) out of bounds
+    import distillbev_tpu.ops.deform_conv as dc
+    b, h, w, c, co = 2, 16, 44, 6, 8
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    weight = jnp.asarray(rng.randn(3, 3, c, co).astype(np.float32) * 0.1)
+    # offsets up to +-3 px: corners spill over every edge
+    offset = jnp.asarray(rng.uniform(-3, 3, (b, h, w, 18))
+                         .astype(np.float32))
+    mask = jnp.asarray(rng.uniform(0, 1, (b, h, w, 9))
+                       .astype(np.float32))
+    cot = jnp.asarray(rng.randn(b, h, w, co).astype(np.float32))
+
+    def run(max_cells):
+        old = dc._DENSE_MAX_CELLS
+        dc._DENSE_MAX_CELLS = max_cells
+        try:
+            def f(x, offset, mask, weight):
+                return jnp.vdot(
+                    modulated_deform_conv2d(x, offset, mask, weight),
+                    cot)
+            val, grads = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(
+                x, offset, mask, weight)
+            return val, grads
+        finally:
+            dc._DENSE_MAX_CELLS = old
+
+    v_dense, g_dense = run(10**6)
+    v_gather, g_gather = run(0)
+    np.testing.assert_allclose(float(v_dense), float(v_gather),
+                               rtol=1e-5)
+    for gd, gg in zip(g_dense, g_gather):
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gg),
+                                   rtol=2e-4, atol=2e-4)
