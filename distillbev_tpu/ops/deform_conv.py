@@ -37,8 +37,10 @@ import jax.numpy as jnp
 
 from .grid_sample import bilinear_sample_pixels
 
-_DENSE_MAX_CELLS = int(os.environ.get(
-    "DISTILLBEV_DCN_DENSE_MAX_CELLS", 0))
+def _dense_max_cells() -> int:
+    """Opt-in ceiling for the dense separable-lerp path, read lazily so
+    setting DISTILLBEV_DCN_DENSE_MAX_CELLS after import takes effect."""
+    return int(os.environ.get("DISTILLBEV_DCN_DENSE_MAX_CELLS", 0))
 
 
 def _axis_weights(t: jnp.ndarray, n: int, dt) -> jnp.ndarray:
@@ -119,7 +121,14 @@ def modulated_deform_conv2d(x: jnp.ndarray,
     py = oy[None, :, None, None] + ty[None, None, None, :] + off[..., 0]
     px = ox[None, None, :, None] + tx[None, None, None, :] + off[..., 1]
 
-    if (h + 2) * (w + 2) <= _DENSE_MAX_CELLS:
+    # Gate on the FULL dense lhs footprint [b, ho*wo*k, cells] as well
+    # as the user's per-cell ceiling: the separable-lerp matmul
+    # materializes rows*cells lerp weights, so a mid-size grid with many
+    # output rows could otherwise blow HBM even when (h+2)*(w+2) alone
+    # fits the env-var budget.  2^28 elements = 1 GiB of fp32 lhs.
+    dense_lhs_elems = b * ho * wo * k * (h + 2) * (w + 2)
+    if ((h + 2) * (w + 2) <= _dense_max_cells()
+            and dense_lhs_elems <= 2 ** 28):
         samples = _sample_dense(x, py.reshape(b, -1), px.reshape(b, -1),
                                 mask.reshape(b, -1))
         samples = samples.reshape(b, ho, wo, k, c)

@@ -100,8 +100,10 @@ def test_dense_path_matches_gather_path(rng):
     cot = jnp.asarray(rng.randn(b, h, w, co).astype(np.float32))
 
     def run(max_cells):
-        old = dc._DENSE_MAX_CELLS
-        dc._DENSE_MAX_CELLS = max_cells
+        # the gate reads the env var lazily, so plain os.environ works
+        import os
+        old = os.environ.get("DISTILLBEV_DCN_DENSE_MAX_CELLS")
+        os.environ["DISTILLBEV_DCN_DENSE_MAX_CELLS"] = str(max_cells)
         try:
             def f(x, offset, mask, weight):
                 return jnp.vdot(
@@ -111,7 +113,10 @@ def test_dense_path_matches_gather_path(rng):
                 x, offset, mask, weight)
             return val, grads
         finally:
-            dc._DENSE_MAX_CELLS = old
+            if old is None:
+                del os.environ["DISTILLBEV_DCN_DENSE_MAX_CELLS"]
+            else:
+                os.environ["DISTILLBEV_DCN_DENSE_MAX_CELLS"] = old
 
     v_dense, g_dense = run(10**6)
     v_gather, g_gather = run(0)

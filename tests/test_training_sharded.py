@@ -286,10 +286,19 @@ def test_one_vs_eight_device_equality(rng, cpu_devices):
             _, metrics = step_fn(st, tv, bt, jnp.float32(1.0))
         results[n_dev] = {k: float(v) for k, v in metrics.items()}
 
-    for key in ("total_loss", "grad_norm", "loss_depth"):
+    # Tolerances are calibrated to fp32 reduction-order noise, which
+    # varies across hosts (observed up to rel 2.4e-4 on grad_norm: an
+    # 8-way tree-reduce vs a single-device linear sum over ~1e6-term
+    # dot products).  A real DDP bug (missing mean, double count, wrong
+    # axis) shows up as a 2x/8x error, so 10x headroom over observed
+    # noise still pins every scaling mistake while never failing on
+    # summation order.
+    for key in ("total_loss", "loss_depth"):
         a, c = results[1][key], results[8][key]
-        assert a == pytest.approx(c, rel=2e-4), (key, a, c)
+        assert a == pytest.approx(c, rel=1e-3), (key, a, c)
+    a, c = results[1]["grad_norm"], results[8]["grad_norm"]
+    assert a == pytest.approx(c, rel=3e-3), ("grad_norm", a, c)
     # every loss term agrees, not just the total
     for key in results[1]:
         assert results[1][key] == pytest.approx(
-            results[8][key], rel=2e-3, abs=1e-6), key
+            results[8][key], rel=5e-3, abs=1e-6), key
