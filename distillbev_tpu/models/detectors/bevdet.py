@@ -217,12 +217,14 @@ class BEVDepth4D(_BEVDetBase):
         # ops between frames and the transposes then run full-width
         # against a half-zero cotangent — ~N extra R50-view backwards
         # per step (~50 ms at flagship sizes).
-        imgs2 = imgs.reshape(b, 2, n, h, w, imgs.shape[-1])
-
         bev_list = []
         depth0 = None
         for f in range(2):
-            x = self.image_encoder(imgs2[:, f], train=train)
+            # static slice of the camera axis, NOT a [B,2,N,...] reshape
+            # + index: the 6-D reshape materialized a full copy of the
+            # image tensor (~3.3 ms/step at B=4, profile_step.py r4)
+            x = self.image_encoder(imgs[:, f * n:(f + 1) * n],
+                                   train=train)
             # geometry uses the *current* frame extrinsics for both frames
             # (adjacent cams are ego-aligned by the pipeline; reference
             # bevdet_distill_more.py:393-395)

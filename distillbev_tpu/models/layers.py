@@ -9,11 +9,22 @@ point/voxel rows) and optional cross-device synchronization via
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def _bn_stat_barrier() -> bool:
+    """When set, BN batch statistics are computed behind an
+    ``optimization_barrier`` so the stat reductions do NOT fuse into the
+    producing conv's epilogue.  XLA's fused conv+convert+reduce runs the
+    conv HBM-bound at ~17% MXU (profile_step.py round-4 table); the
+    split costs one extra streamed read of x but lets the conv tile for
+    the MXU.  A/B via DISTILLBEV_BN_STAT_BARRIER (trace-time read)."""
+    return os.environ.get("DISTILLBEV_BN_STAT_BARRIER", "0") == "1"
 
 
 def np_prod(shape):
@@ -59,7 +70,9 @@ class BatchNorm(nn.Module):
         if use_ra:
             mean, var = ra_mean.value, ra_var.value
         else:
-            xf = x.astype(jnp.float32)
+            xs = jax.lax.optimization_barrier(x) if _bn_stat_barrier() \
+                else x
+            xf = xs.astype(jnp.float32)
             reduce_axes = tuple(range(x.ndim - 1))
             if mask is not None:
                 m = mask.astype(jnp.float32)
