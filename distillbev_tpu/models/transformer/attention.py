@@ -125,21 +125,49 @@ class SpatialCrossAttention(nn.Module):
     deformable_attention: Any = None
     max_queries_per_cam: Optional[int] = None   # static budget; None=0.4Q
 
+    @staticmethod
+    def budget(q: int, max_queries_per_cam: Optional[int] = None) -> int:
+        """The static per-camera query budget K (see class docstring)."""
+        k = max_queries_per_cam or max(2 * q // 5, 1)
+        return min(k, q)
+
+    @staticmethod
+    def select(reference_points_cam, bev_mask, k: int):
+        """Precompute the per-camera top-K query selection.
+
+        Everything here depends only on the frame geometry
+        (reference_points_cam / bev_mask), NOT on the query content, so
+        it is identical across the encoder's layers — the encoder
+        computes it ONCE per frame and threads it through the layer
+        scan instead of paying the [N_cam, B, Q] top_k sort + ref
+        gather 6x per frame (docs/PERF.md round 4).
+
+        Returns (idx [N_cam, B, K], sel_ref [N_cam, B, K, D, 2],
+        has_hit [N_cam, B, K] bool, hit_count [B, Q] fp32)."""
+        hits = bev_mask.sum(-1)                      # [N_cam, B, Q]
+        _, idx = jax.lax.top_k(hits, k)              # [N_cam, B, K]
+        sel_ref = jnp.take_along_axis(
+            reference_points_cam, idx[..., None, None], axis=2)
+        has_hit = jnp.take_along_axis(hits, idx, axis=2) > 0
+        hit_count = (hits > 0).astype(jnp.float32).transpose(
+            1, 2, 0).sum(-1)                         # [B, Q]
+        return idx, sel_ref, has_hit, hit_count
+
     @nn.compact
     def __call__(self, query, value, reference_points_cam, bev_mask,
                  spatial_shapes, query_pos=None, residual=None,
-                 train: bool = False):
+                 precomputed_select=None, train: bool = False):
         """query [B, Q, C]; value [B, N_cam, sum(HW), C];
         reference_points_cam [N_cam, B, Q, D, 2]; bev_mask
-        [N_cam, B, Q, D] bool -> [B, Q, C]."""
+        [N_cam, B, Q, D] bool -> [B, Q, C].  ``precomputed_select``:
+        optional output of :meth:`select` (layer-invariant hoist)."""
         inp_residual = query if residual is None else residual
         if query_pos is not None:
             query = query + query_pos
         bsz, q, c = query.shape
         n_cam = value.shape[1]
         d = reference_points_cam.shape[3]
-        k = self.max_queries_per_cam or max(2 * q // 5, 1)
-        k = min(k, q)
+        k = self.budget(q, self.max_queries_per_cam)
 
         da_cfg = dict(self.deformable_attention or {})
         da_cfg.pop("type", None)
@@ -150,22 +178,23 @@ class SpatialCrossAttention(nn.Module):
                                                   "num_levels",
                                                   "num_points")})
 
-        hits = bev_mask.sum(-1)                      # [N_cam, B, Q]
         # all cameras in ONE attention call (cams fold into batch):
         # 6x fewer op instances per layer than a python camera loop —
         # smaller HLO and bigger fusions on the chunked sampling core
-        _, idx = jax.lax.top_k(hits, k)              # [N_cam, B, K]
+        if precomputed_select is not None:
+            idx, sel_ref, has_hit, hit_count = precomputed_select
+            assert idx.shape[-1] == k, (idx.shape, k)
+        else:
+            idx, sel_ref, has_hit, hit_count = self.select(
+                reference_points_cam, bev_mask, k)
         sel_q = jnp.take_along_axis(
             query[None], idx[..., None], axis=2)     # [N, B, K, C]
-        sel_ref = jnp.take_along_axis(
-            reference_points_cam, idx[..., None, None], axis=2)
         nb = n_cam * bsz
         out = da(sel_q.reshape(nb, k, c),
                  value.transpose(1, 0, 2, 3).reshape(
                      nb, value.shape[2], c),
                  sel_ref.reshape(nb, k, d, 2), spatial_shapes,
                  train=train).reshape(n_cam, bsz, k, c)
-        has_hit = jnp.take_along_axis(hits, idx, axis=2) > 0
         out = jnp.where(has_hit[..., None], out, 0.0)
         # one scatter per sample row: cams concat into the update axis
         idx_b = idx.transpose(1, 0, 2).reshape(bsz, n_cam * k)
@@ -175,7 +204,7 @@ class SpatialCrossAttention(nn.Module):
 
         # hit-count normalization in the slot dtype (fp32 counts would
         # promote the [B, Q, C] stream under bf16 mixed precision)
-        count = (hits > 0).astype(slots.dtype).transpose(1, 2, 0).sum(-1)
+        count = hit_count.astype(slots.dtype)
         slots = slots / jnp.maximum(count, 1.0)[..., None]
         slots = nn.Dense(self.embed_dims, name="output_proj")(slots)
         if train and self.dropout > 0:

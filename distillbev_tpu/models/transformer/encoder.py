@@ -93,7 +93,8 @@ class BEVFormerLayer(nn.Module):
     @nn.compact
     def __call__(self, query, value, prev_bev, ref_2d, ref_cam,
                  bev_mask, bev_pos, spatial_shapes, bev_hw, shift=None,
-                 prev_valid=None, train: bool = False):
+                 prev_valid=None, sca_select=None,
+                 train: bool = False):
         bsz, q, c = query.shape
         tsa_value = None
         tsa_ref = ref_2d
@@ -131,7 +132,8 @@ class BEVFormerLayer(nn.Module):
                 num_points=self.num_points_sca),
             max_queries_per_cam=self.max_queries_per_cam,
             name="sca")(query, value, ref_cam, bev_mask, spatial_shapes,
-                        query_pos=None, train=train)
+                        query_pos=None, precomputed_select=sca_select,
+                        train=train)
         query = nn.LayerNorm(name="norm2")(query)
         query = FFN(embed_dims=self.embed_dims,
                     feedforward_channels=self.feedforward_channels,
@@ -193,6 +195,14 @@ class BEVFormerEncoder(nn.Module):
                                   (bev_query.shape[0],) + ref_2d.shape)
         ref_cam, bev_mask = point_sampling(ref_3d, pcr, lidar2img,
                                            img_shape)
+        # hoist the SCA top-K selection out of the layer loop: it
+        # depends only on the frame geometry, so the [N_cam, B, Q]
+        # top_k sort + ref gather run ONCE per frame instead of once
+        # per layer (attention.py SpatialCrossAttention.select)
+        from .attention import SpatialCrossAttention
+        sca_select = SpatialCrossAttention.select(
+            ref_cam, bev_mask, SpatialCrossAttention.budget(
+                bev_query.shape[1], self.max_queries_per_cam))
         out = bev_query
         layer_kwargs = dict(
             embed_dims=self.embed_dims, num_heads=self.num_heads,
@@ -205,7 +215,8 @@ class BEVFormerEncoder(nn.Module):
                 q = mdl(carry, value, prev_bev, ref_2d, ref_cam,
                         bev_mask, bev_pos, spatial_shapes,
                         (bev_h, bev_w), shift=shift,
-                        prev_valid=prev_valid, train=train)
+                        prev_valid=prev_valid, sca_select=sca_select,
+                        train=train)
                 return q, (q if self.return_intermediate else ())
             if self.with_cp and train:
                 body = nn.remat(body, prevent_cse=False,
@@ -222,18 +233,20 @@ class BEVFormerEncoder(nn.Module):
         for i in range(self.num_layers):
             layer = BEVFormerLayer(**layer_kwargs, name=f"layer_{i}")
             if self.with_cp and train:
-                def body(mdl, q, v, pb, r2, rc, bm, bp, sh, pv):
+                def body(mdl, q, v, pb, r2, rc, bm, bp, sh, pv, sel):
                     return mdl(q, v, pb, r2, rc, bm, bp,
                                spatial_shapes, (bev_h, bev_w),
-                               shift=sh, prev_valid=pv, train=train)
+                               shift=sh, prev_valid=pv, sca_select=sel,
+                               train=train)
                 out = nn.remat(body, policy=self._cp_policy())(
                     layer, out, value, prev_bev, ref_2d, ref_cam,
-                    bev_mask, bev_pos, shift, prev_valid)
+                    bev_mask, bev_pos, shift, prev_valid, sca_select)
             else:
                 out = layer(out, value, prev_bev, ref_2d, ref_cam,
                             bev_mask, bev_pos, spatial_shapes,
                             (bev_h, bev_w), shift=shift,
-                            prev_valid=prev_valid, train=train)
+                            prev_valid=prev_valid, sca_select=sca_select,
+                            train=train)
             if self.return_intermediate:
                 intermediate.append(out)
         if self.return_intermediate:

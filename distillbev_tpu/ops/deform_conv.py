@@ -38,9 +38,18 @@ import jax.numpy as jnp
 from .grid_sample import bilinear_sample_pixels
 
 def _dense_max_cells() -> int:
-    """Opt-in ceiling for the dense separable-lerp path, read lazily so
-    setting DISTILLBEV_DCN_DENSE_MAX_CELLS after import takes effect."""
-    return int(os.environ.get("DISTILLBEV_DCN_DENSE_MAX_CELLS", 0))
+    """Ceiling for the dense separable-lerp path, read lazily so
+    setting DISTILLBEV_DCN_DENSE_MAX_CELLS after import takes effect.
+
+    Default 1024 covers the flagship depth-net grid (16x44 -> 828
+    padded cells).  The round-3 ISOLATED microbench scored dense vs
+    gather a wash (4.46 vs 4.42 ms fwd+bwd at [24, 16, 44, 256]), but
+    IN-STEP the gather path's backward lowers to four per-corner
+    [152k, 256] scatter-adds at ~60M rows/s (~10 ms/step) plus 8
+    corner-gather fusions (~9 ms/step) that the matmul path replaces
+    with MXU work: bench.py measured 16.94 -> 18.45 samples/s
+    (236.1 -> 216.8 ms) flipping this on (docs/PERF.md round 4)."""
+    return int(os.environ.get("DISTILLBEV_DCN_DENSE_MAX_CELLS", 1024))
 
 
 def _axis_weights(t: jnp.ndarray, n: int, dt) -> jnp.ndarray:
