@@ -259,7 +259,8 @@ class BEVFormerHead(_DETR3DHeadBase):
     @nn.compact
     def __call__(self, mlvl_feats, prev_bev=None, can_bus=None,
                  lidar2img=None, img_shape=None, only_bev: bool = False,
-                 prev_valid=None, train: bool = False):
+                 prev_valid=None, sca_budget=None,
+                 train: bool = False):
         bev_queries = self.param(
             "bev_embedding", nn.initializers.normal(1.0),
             (self.bev_h * self.bev_w, self.embed_dims))
@@ -285,7 +286,8 @@ class BEVFormerHead(_DETR3DHeadBase):
                 self.bev_w, grid_length=grid_length, bev_pos=bev_pos,
                 prev_bev=prev_bev, can_bus=can_bus, lidar2img=lidar2img,
                 img_shape=img_shape, only_bev=True,
-                prev_valid=prev_valid, train=train)
+                prev_valid=prev_valid, sca_budget=sca_budget,
+                train=train)
 
         bev_embed, hs, init_ref, inter_refs = transformer(
             mlvl_feats, bev_queries, query_embed, self.bev_h, self.bev_w,

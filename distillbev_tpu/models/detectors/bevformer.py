@@ -46,6 +46,13 @@ class BEVFormer(nn.Module):
     # batches see identical statistics).  The full-size single-chip
     # config enables it (docs/PERF.md BEVFormer track).
     seq_img_encoder: bool = False
+    # SCA per-camera query budget for the NO-GRAD history frames only
+    # (obtain_history_bev).  None = the encoder default (0.4Q, 14%
+    # margin over the measured max hit fraction).  The full-size recipe
+    # sets the measured exact-cover budget 0.35Q — identical outputs on
+    # every geometry the coverage test sweeps, ~12% fewer sampling rows
+    # on 3 of the 4 encoder passes per step (VERDICT r3 #4a).
+    history_sca_budget: Any = None
     train_cfg: Any = None
     test_cfg: Any = None
     pretrained: Any = None
@@ -100,13 +107,14 @@ class BEVFormer(nn.Module):
         return [f.reshape((b, n) + f.shape[1:]) for f in feats]
 
     def _frame_bev(self, imgs, can_bus, lidar2img, prev_bev,
-                   prev_valid=None, train: bool = False, rng=None):
+                   prev_valid=None, sca_budget=None,
+                   train: bool = False, rng=None):
         feats = self.extract_img_feat(imgs, train=train, rng=rng)
         img_shape = (imgs.shape[2], imgs.shape[3])
         return self.bbox_head(feats, prev_bev=prev_bev, can_bus=can_bus,
                               lidar2img=lidar2img, img_shape=img_shape,
                               only_bev=True, prev_valid=prev_valid,
-                              train=train)
+                              sca_budget=sca_budget, train=train)
 
     def obtain_history_bev(self, imgs_queue, can_bus_queue,
                            lidar2img_queue, prev_exists):
@@ -140,7 +148,9 @@ class BEVFormer(nn.Module):
             imgs, can_bus, l2i, v = xs
             bev = mdl._frame_bev(imgs, can_bus, l2i,
                                  jax.lax.stop_gradient(prev_bev),
-                                 prev_valid=v, train=False)
+                                 prev_valid=v,
+                                 sca_budget=mdl.history_sca_budget,
+                                 train=False)
             return bev.astype(carry_dt), None
 
         scan = nn.scan(body,

@@ -182,8 +182,11 @@ class SpatialCrossAttention(nn.Module):
         # 6x fewer op instances per layer than a python camera loop —
         # smaller HLO and bigger fusions on the chunked sampling core
         if precomputed_select is not None:
+            # the select's K wins: the encoder may run a reduced budget
+            # (e.g. no-grad history frames at the measured exact-cover
+            # fraction instead of the default margin, bevformer.py)
             idx, sel_ref, has_hit, hit_count = precomputed_select
-            assert idx.shape[-1] == k, (idx.shape, k)
+            k = idx.shape[-1]
         else:
             idx, sel_ref, has_hit, hit_count = self.select(
                 reference_points_cam, bev_mask, k)

@@ -181,7 +181,8 @@ class BEVFormerEncoder(nn.Module):
     def __call__(self, bev_query, value, bev_h: int, bev_w: int,
                  bev_pos=None, prev_bev=None, lidar2img=None,
                  img_shape=None, spatial_shapes=None, shift=None,
-                 prev_valid=None, train: bool = False):
+                 prev_valid=None, sca_budget=None,
+                 train: bool = False):
         """bev_query [B, H*W, C]; value [B, N_cam, sum(HW), C];
         lidar2img [B, N_cam, 4, 4]."""
         pcr = list(self.pc_range)
@@ -201,8 +202,10 @@ class BEVFormerEncoder(nn.Module):
         # per layer (attention.py SpatialCrossAttention.select)
         from .attention import SpatialCrossAttention
         sca_select = SpatialCrossAttention.select(
-            ref_cam, bev_mask, SpatialCrossAttention.budget(
-                bev_query.shape[1], self.max_queries_per_cam))
+            ref_cam, bev_mask,
+            int(sca_budget) if sca_budget else
+            SpatialCrossAttention.budget(bev_query.shape[1],
+                                         self.max_queries_per_cam))
         out = bev_query
         layer_kwargs = dict(
             embed_dims=self.embed_dims, num_heads=self.num_heads,

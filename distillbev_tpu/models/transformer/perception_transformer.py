@@ -71,7 +71,8 @@ class PerceptionTransformer(nn.Module):
                  bev_pos=None, prev_bev=None, can_bus=None,
                  lidar2img=None, img_shape=None,
                  reg_branch=None, only_bev: bool = False,
-                 prev_valid=None, train: bool = False):
+                 prev_valid=None, sca_budget=None,
+                 train: bool = False):
         """mlvl_feats: list of [B, N_cam, H_l, W_l, C];
         bev_queries [H*W, C]; object_query_embed [Q, 2C];
         can_bus [B, 18]; lidar2img [B, N_cam, 4, 4].
@@ -145,7 +146,7 @@ class PerceptionTransformer(nn.Module):
             bev_query, value, bev_h, bev_w, bev_pos=bev_pos,
             prev_bev=prev_bev, lidar2img=lidar2img, img_shape=img_shape,
             spatial_shapes=tuple(shapes), shift=shift,
-            prev_valid=prev_valid, train=train)
+            prev_valid=prev_valid, sca_budget=sca_budget, train=train)
         if only_bev:
             return bev_embed
 

@@ -154,6 +154,18 @@ def main():
           f"({1.0 / dt:.2f} samples/s/chip, B=1) total_loss={final:.3f}",
           flush=True)
 
+    # BF_PROFILE=<dir>: trace one step and print the hlo_stats rollup
+    # (same xprof path as profile_step.py)
+    prof_dir = os.environ.get("BF_PROFILE")
+    if prof_dir:
+        import jax
+        from profile_step import collect_hlo_stats, summarize
+        with jax.profiler.trace(prof_dir):
+            state, metrics = step_fn(state, tvars, batch,
+                                     jnp.float32(1.0))
+            float(metrics["total_loss"])
+        summarize(collect_hlo_stats(prof_dir), top_n=40)
+
 
 if __name__ == "__main__":
     main()
