@@ -225,6 +225,12 @@ class LoadMultiViewImageFromFiles_BEVDet:
             adj = adj[0]
         if not self.aligned:
             return rots.copy(), trans.copy()
+        # scene-boundary sample: the dataset substituted the current
+        # frame as its own adjacent (nuscenes_dataset._select_adjacent),
+        # whose stub dict has no ego2global keys — the alignment is the
+        # identity, return before touching them
+        if results.get("adjacent_type") == "curr":
+            return rots.copy(), trans.copy()
         if self.trans_only:
             posi_curr = np.asarray(curr["ego2global_translation"],
                                    np.float32)

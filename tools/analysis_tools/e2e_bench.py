@@ -117,6 +117,20 @@ def gen_fullsize_nuscenes(root, n_samples, img_hw, n_points):
     return ann
 
 
+def point_config_at(train_cfg: dict, data_root: str, ann_file: str):
+    """Point a train-data config dict at generated data IN PLACE: the
+    dataset's ann_file/data_root AND every pipeline transform's baked
+    ``root_path`` (the config files bake root_path=data_root into the
+    image loaders — overriding only the dataset field leaves the
+    loaders resolving against the repo-relative default)."""
+    train_cfg["ann_file"] = ann_file
+    train_cfg["data_root"] = data_root
+    for t in train_cfg.get("pipeline", []):
+        if "root_path" in t:
+            t["root_path"] = data_root
+    return train_cfg
+
+
 def main():
     repo = osp.join(osp.dirname(__file__), "..", "..")
     workdir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(
@@ -141,9 +155,7 @@ def main():
         "centerpoint_pillar_to_bevdepth4d_r50/centerpoint_02pillar_"
         "second_secfpn_circlenms_8x4_cyclic_20e_nus_to_bevdepth4d_"
         "r50.py"))
-    tr = cfg.data["train"]
-    tr["ann_file"] = ann
-    tr["data_root"] = data_root
+    tr = point_config_at(cfg.data["train"], data_root, ann)
     cfg.data["samples_per_gpu"] = batch
     cfg.data["workers_per_gpu"] = workers
     cfg.data.pop("val", None)
