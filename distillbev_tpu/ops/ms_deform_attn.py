@@ -295,12 +295,22 @@ def _attn_chunked(value, spatial_shapes, loc, weight):
             wf = w4 * wg.astype(dt)[..., None]     # [qc, Lg, P, 4]
             rows = tab_g.at[ids.reshape(-1)].get(
                 mode="promise_in_bounds")
-            # ONE fused multiply+reduce straight to [qc, C]: corner,
-            # point and level axes all fold into axis 1 (no [R, C]
-            # intermediate round-trips HBM)
-            out = out + jnp.sum(
-                rows.reshape(qc, -1, c) * wf.reshape(qc, -1)[..., None],
-                axis=1, dtype=jnp.float32)
+            # LANE-PRESERVING combine: the old
+            # ``rows.reshape(qc, -1, c)`` split the 128-lane 4C rows
+            # into (4, C) — a physical relayout copy that cost more
+            # than the take itself at full size (457 ms/step,
+            # reshape.21912 in the round-4 profile).  Instead the
+            # corner weights broadcast ONTO the lanes (reshape of a
+            # broadcast = index arithmetic, fused into the multiply),
+            # the sample axis reduces in 4C-lane space, and only the
+            # tiny [qc, 4C] accumulator pays a lane-crossing fold.
+            lp = ids.size // qc                    # Lg * P samples/query
+            w128 = jnp.broadcast_to(
+                wf.reshape(qc, lp, 4, 1), (qc, lp, 4, c)).reshape(
+                qc, lp, 4 * c)
+            acc = jnp.sum(rows.reshape(qc, lp, 4 * c) * w128, axis=1,
+                          dtype=jnp.float32)       # [qc, 4C]
+            out = out + acc.reshape(qc, 4, c).sum(axis=1)
         for pg, lvl in zip(pgs, dense_lvls):
             h, w = spatial_shapes[lvl]
             lhs = _dense_lhs(locc[:, lvl], wgtc[:, lvl], h, w, dt)
@@ -380,15 +390,24 @@ def _attn_cvjp_bwd(spatial_shapes, res, g):
         """One query chunk of one group.  Returns (dvals', dloc_c,
         dwgt_c) with dvals the group's per-level supercell
         accumulators."""
+        qc = locc.shape[0]
         y0i, x0i, w4, (lx, ly, ok) = _window_coords_multi(
             locc, hs, ws, dt)
         ids = _local_ids(y0i, x0i, tstrides, tbases)  # [qc, L, P]
-        win = tab_g.at[ids.reshape(-1)].get(
-            mode="promise_in_bounds").reshape(ids.shape + (4, c))
+        lp = num_levels * p
+        rows = tab_g.at[ids.reshape(-1)].get(
+            mode="promise_in_bounds")                 # [qc*L*P, 4C]
 
-        # dout contracted with each corner: g[..., k] = <dout, v_k>
-        gdot = jnp.sum(win * gc[:, None, None, None, :].astype(dt),
-                       axis=-1, dtype=jnp.float32)    # [qc, L, P, 4]
+        # dout contracted with each corner: g[..., k] = <dout, v_k>.
+        # Lane-preserving (see chunk_fn): gc tiles onto the 4C lanes as
+        # a broadcast index map and the window rows stay in take layout
+        # — the old ``.reshape(ids.shape + (4, c))`` was a 358 ms/step
+        # physical relayout at full size (reshape.21824, r4 profile).
+        g128 = jnp.broadcast_to(
+            gc[:, None, :].astype(dt), (qc, 4, c)).reshape(qc, 4 * c)
+        prod = rows.reshape(qc, lp, 4 * c) * g128[:, None, :]
+        gdot = prod.reshape(qc, lp, 4, c).sum(
+            axis=-1, dtype=jnp.float32).reshape(qc, num_levels, p, 4)
         dwgt = jnp.sum(w4.astype(jnp.float32) * gdot, axis=-1)
 
         g00, g01 = gdot[..., 0], gdot[..., 1]
@@ -404,12 +423,16 @@ def _attn_cvjp_bwd(spatial_shapes, res, g):
         new_dvals = []
         for gi, lvl in enumerate(gather_lvls):
             # dvalue payload: (w_k * wgt) * dout as ONE 4C-wide
-            # supercell row per sample into this level's accumulator
+            # supercell row per sample into this level's accumulator.
+            # Both factors reach the lanes as broadcast index maps —
+            # the old [qc, P, 4, C] outer product needed a lane-merge
+            # copy per level (3 x 73 ms/step, reshape.21826-30)
             h, w = spatial_shapes[lvl]
-            r = wgtc[:, lvl].astype(dt)[..., None] \
-                * gc[:, None, :].astype(dt)           # [qc, P, C]
-            upd = (w4[:, lvl][..., None] * r[..., None, :]) \
-                .reshape(-1, 4 * c).astype(jnp.float32)
+            wq = w4[:, lvl] * wgtc[:, lvl].astype(dt)[..., None]
+            w128 = jnp.broadcast_to(
+                wq[..., None], (qc, p, 4, c)).reshape(qc, p, 4 * c)
+            upd = (w128 * g128[:, None, :]).reshape(
+                qc * p, 4 * c).astype(jnp.float32)
             sids = (y0i[:, lvl] * (w + 1) + x0i[:, lvl]).reshape(-1)
             if use_pallas:
                 part = scatter_add_rows(sids, upd, (h + 1) * (w + 1))
