@@ -399,15 +399,18 @@ def _attn_cvjp_bwd(spatial_shapes, res, g):
             mode="promise_in_bounds")                 # [qc*L*P, 4C]
 
         # dout contracted with each corner: g[..., k] = <dout, v_k>.
-        # Lane-preserving (see chunk_fn): gc tiles onto the 4C lanes as
-        # a broadcast index map and the window rows stay in take layout
-        # — the old ``.reshape(ids.shape + (4, c))`` was a 358 ms/step
-        # physical relayout at full size (reshape.21824, r4 profile).
-        g128 = jnp.broadcast_to(
-            gc[:, None, :].astype(dt), (qc, 4, c)).reshape(qc, 4 * c)
-        prod = rows.reshape(qc, lp, 4 * c) * g128[:, None, :]
-        gdot = prod.reshape(qc, lp, 4, c).sum(
-            axis=-1, dtype=jnp.float32).reshape(qc, num_levels, p, 4)
+        # Lane-preserving (see chunk_fn): gc tiles onto the 4C lanes,
+        # and the per-corner lane-block reduction runs as ONE MXU
+        # matmul against a static [4C, 4] corner-selector — the
+        # reshape-to-(4, C) formulations all forced multi-ms physical
+        # relayouts of the [R, 4C] window rows (reshape.21824 /
+        # reshape.22133 in the round-4 profiles).
+        g128 = jnp.concatenate([gc.astype(dt)] * 4, axis=-1)  # [qc, 4C]
+        prod = rows * jnp.broadcast_to(
+            g128[:, None, :], (qc, lp, 4 * c)).reshape(-1, 4 * c)
+        sel = jnp.repeat(jnp.eye(4, dtype=dt), c, axis=0)     # [4C, 4]
+        gdot = jnp.dot(prod, sel, preferred_element_type=jnp.float32
+                       ).reshape(qc, num_levels, p, 4)
         dwgt = jnp.sum(w4.astype(jnp.float32) * gdot, axis=-1)
 
         g00, g01 = gdot[..., 0], gdot[..., 1]
@@ -429,8 +432,9 @@ def _attn_cvjp_bwd(spatial_shapes, res, g):
             # copy per level (3 x 73 ms/step, reshape.21826-30)
             h, w = spatial_shapes[lvl]
             wq = w4[:, lvl] * wgtc[:, lvl].astype(dt)[..., None]
-            w128 = jnp.broadcast_to(
-                wq[..., None], (qc, p, 4, c)).reshape(qc, p, 4 * c)
+            w128 = jnp.concatenate(
+                [jnp.broadcast_to(wq[..., k:k + 1], (qc, p, c))
+                 for k in range(4)], axis=-1)     # [qc, P, 4C]
             upd = (w128 * g128[:, None, :]).reshape(
                 qc * p, 4 * c).astype(jnp.float32)
             sids = (y0i[:, lvl] * (w + 1) + x0i[:, lvl]).reshape(-1)
