@@ -45,8 +45,14 @@ class SparseConvModule(nn.Module):
     order: Tuple[str, ...] = ("conv", "norm", "act")
 
     @nn.compact
-    def __call__(self, sp: SparseTensor, train: bool = False
-                 ) -> SparseTensor:
+    def __call__(self, sp: SparseTensor, train: bool = False,
+                 subm_rulebook=None) -> SparseTensor:
+        """``subm_rulebook``: optional precomputed neighbor table for
+        SubMConv3d — submanifold convs at the same resolution share
+        coords, so the caller computes it once per stage instead of
+        re-running the sort + searchsorted walk per layer (the
+        reference spconv caches rulebooks by indice_key the same way;
+        ~850 ms/step of the LidarFormer teacher, round-4 profile)."""
         ks = _triple(self.kernel_size)
         k = int(np.prod(ks))
         cin = sp.feats.shape[-1]
@@ -55,8 +61,9 @@ class SparseConvModule(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (k, cin, self.out_channels), jnp.float32)
         if self.conv_type == "SubMConv3d":
-            nb = build_subm_rulebook(sp.coords, sp.valid,
-                                     sp.spatial_shape, ks)
+            nb = subm_rulebook if subm_rulebook is not None else \
+                build_subm_rulebook(sp.coords, sp.valid,
+                                    sp.spatial_shape, ks)
             feats = gather_gemm(sp.feats, nb, w, sp.valid)
             out = SparseTensor(feats, sp.coords, sp.valid,
                                sp.spatial_shape, sp.batch_size)
@@ -91,15 +98,17 @@ class SparseBasicBlock(nn.Module):
     norm_cfg: Any = None
 
     @nn.compact
-    def __call__(self, sp: SparseTensor, train: bool = False
-                 ) -> SparseTensor:
+    def __call__(self, sp: SparseTensor, train: bool = False,
+                 subm_rulebook=None) -> SparseTensor:
         identity = sp.feats
         y = SparseConvModule(self.channels, 3, norm_cfg=self.norm_cfg,
                              order=("conv", "norm", "act"),
-                             name="conv1")(sp, train=train)
+                             name="conv1")(sp, train=train,
+                                           subm_rulebook=subm_rulebook)
         y = SparseConvModule(self.channels, 3, norm_cfg=self.norm_cfg,
                              order=("conv", "norm"),
-                             name="conv2")(y, train=train)
+                             name="conv2")(y, train=train,
+                                           subm_rulebook=subm_rulebook)
         x = nn.relu(y.feats + identity)
         x = jnp.where(y.valid[:, None], x, 0.0)
         return SparseTensor(x, y.coords, y.valid, y.spatial_shape,
@@ -129,10 +138,19 @@ class SparseEncoder(nn.Module):
         norm = self.norm_cfg or dict(type="BN1d", eps=1e-3, momentum=0.01)
         sp = SparseTensor(voxel_feats, coords, valid,
                           tuple(self.sparse_shape), batch_size)
+
+        # one SubM rulebook per resolution: submanifold convs keep the
+        # site set, so every 3x3x3 SubM layer until the next strided
+        # conv shares the same neighbor table (reference spconv caches
+        # by indice_key; each searchsorted walk is [N*27] over up to
+        # 120k sites — ~850 ms/step rebuilt per-layer, round-4 profile)
+        nb_cache = build_subm_rulebook(sp.coords, sp.valid,
+                                       sp.spatial_shape, (3, 3, 3))
         sp = SparseConvModule(self.base_channels, 3, padding=1,
                               conv_type="SubMConv3d", norm_cfg=norm,
                               order=self.order,
-                              name="conv_input")(sp, train=train)
+                              name="conv_input")(sp, train=train,
+                                                 subm_rulebook=nb_cache)
         budget = self.max_active
         for i, blocks in enumerate(self.encoder_channels):
             pads = tuple(self.encoder_paddings[i])
@@ -145,6 +163,7 @@ class SparseEncoder(nn.Module):
                         conv_type="SparseConv3d", norm_cfg=norm,
                         order=self.order, max_out=budget,
                         name=f"encoder_{i}_{j}")(sp, train=train)
+                    nb_cache = None
                 elif self.block_type == "basicblock" and \
                         j == len(tuple(blocks)) - 1 and \
                         i != len(tuple(self.encoder_channels)) - 1:
@@ -154,16 +173,26 @@ class SparseEncoder(nn.Module):
                         conv_type="SparseConv3d", norm_cfg=norm,
                         order=self.order, max_out=budget,
                         name=f"encoder_{i}_{j}")(sp, train=train)
+                    nb_cache = None
                 elif self.block_type == "basicblock":
+                    if nb_cache is None:
+                        nb_cache = build_subm_rulebook(
+                            sp.coords, sp.valid, sp.spatial_shape,
+                            (3, 3, 3))
                     sp = SparseBasicBlock(out_ch, norm_cfg=norm,
                                           name=f"encoder_{i}_{j}")(
-                        sp, train=train)
+                        sp, train=train, subm_rulebook=nb_cache)
                 else:
+                    if nb_cache is None:
+                        nb_cache = build_subm_rulebook(
+                            sp.coords, sp.valid, sp.spatial_shape,
+                            (3, 3, 3))
                     sp = SparseConvModule(
                         out_ch, 3, padding=pad,
                         conv_type="SubMConv3d", norm_cfg=norm,
                         order=self.order,
-                        name=f"encoder_{i}_{j}")(sp, train=train)
+                        name=f"encoder_{i}_{j}")(sp, train=train,
+                                                 subm_rulebook=nb_cache)
         sp = SparseConvModule(
             self.output_channels, (3, 1, 1), stride=(2, 1, 1),
             padding=0, conv_type="SparseConv3d", norm_cfg=norm,
