@@ -74,17 +74,28 @@ _PALLAS_SCATTER = _os.environ.get(
 
 # cap on take rows processed per scan step: peak per-step temps are
 # [rows_bm, 4C] where rows_bm = Q * L * P for one (batch, head) group.
-# At flagship shapes rows_bm is 160-512k (well under), so the inner
-# query chunking only engages on unusually large query counts.
-# Override with DISTILLBEV_ATTN_MAX_GATHER_ROWS.
+# Chunking is a PERF knob, not just a memory guard: [chunk, 4C] temps
+# small enough to live on-chip let the take/combine/scatter pipeline
+# instead of round-tripping HBM.  Round-4 sweep at the full SCA shape
+# (K=20k, 4 levels, P=8): fwd is fastest at ~160-190k-row chunks
+# (125 -> 105 ms) and the backward at ~128k (446 -> 363 ms), while
+# the TSA shape (160k rows) is fastest UNchunked — hence separate
+# fwd/bwd defaults sitting just above the TSA row count.
+# Override with DISTILLBEV_ATTN_MAX_GATHER_ROWS[_BWD].
 _MAX_GATHER_ROWS = int(_os.environ.get(
-    "DISTILLBEV_ATTN_MAX_GATHER_ROWS", 1 << 19))
+    "DISTILLBEV_ATTN_MAX_GATHER_ROWS", 196608))
+_MAX_GATHER_ROWS_BWD = int(_os.environ.get(
+    "DISTILLBEV_ATTN_MAX_GATHER_ROWS_BWD", 131072))
 
 
 def _max_rows():
     # read through the module object so tests can monkeypatch the
     # module attribute and have call sites observe it
     return _sys.modules[__name__]._MAX_GATHER_ROWS
+
+
+def _max_rows_bwd():
+    return _sys.modules[__name__]._MAX_GATHER_ROWS_BWD
 
 
 def _is_dense(h: int, w: int) -> bool:
@@ -384,7 +395,7 @@ def _attn_cvjp_bwd(spatial_shapes, res, g):
           "wgt": _transpose_bm(weight), "g": _transpose_bm(g)}
 
     rows_bm = q * num_levels * p
-    n_chunks = max(1, -(-rows_bm // _max_rows()))
+    n_chunks = max(1, -(-rows_bm // _max_rows_bwd()))
 
     def chunk_bwd(tab_g, dvals, locc, wgtc, gc):
         """One query chunk of one group.  Returns (dvals', dloc_c,
@@ -406,10 +417,13 @@ def _attn_cvjp_bwd(spatial_shapes, res, g):
         # relayouts of the [R, 4C] window rows (reshape.21824 /
         # reshape.22133 in the round-4 profiles).
         g128 = jnp.concatenate([gc.astype(dt)] * 4, axis=-1)  # [qc, 4C]
-        prod = rows * jnp.broadcast_to(
-            g128[:, None, :], (qc, lp, 4 * c)).reshape(-1, 4 * c)
+        # implicit [qc, 1, 4C] -> [qc, lp, 4C] broadcast fuses into the
+        # multiply; a reshape-of-broadcast materialized a 131 MB
+        # operand (broadcast_in_dim.5104, round-4 profile)
+        prod = rows.reshape(qc, lp, 4 * c) * g128[:, None, :]
         sel = jnp.repeat(jnp.eye(4, dtype=dt), c, axis=0)     # [4C, 4]
-        gdot = jnp.dot(prod, sel, preferred_element_type=jnp.float32
+        gdot = jnp.dot(prod.reshape(-1, 4 * c), sel,
+                       preferred_element_type=jnp.float32
                        ).reshape(qc, num_levels, p, 4)
         dwgt = jnp.sum(w4.astype(jnp.float32) * gdot, axis=-1)
 
@@ -423,32 +437,58 @@ def _attn_cvjp_bwd(spatial_shapes, res, g):
             * wgt_f * hv
         dloc = jnp.stack([dx, dy], axis=-1)           # [qc, L, P, 2]
 
-        new_dvals = []
-        for gi, lvl in enumerate(gather_lvls):
-            # dvalue payload: (w_k * wgt) * dout as ONE 4C-wide
-            # supercell row per sample into this level's accumulator.
-            # Both factors reach the lanes as broadcast index maps —
-            # the old [qc, P, 4, C] outer product needed a lane-merge
-            # copy per level (3 x 73 ms/step, reshape.21826-30)
+        # dvalue payload: (w_k * wgt) * dout as ONE 4C-wide supercell
+        # row per sample.  Both factors reach the lanes as broadcast
+        # index maps (the old [qc, P, 4, C] outer product needed a
+        # lane-merge copy per level).  Levels are BUCKETED so one
+        # scatter kernel covers as many levels as fit a VMEM
+        # accumulator — the per-row RMW rate is level-size-independent
+        # (~0.67 ms per 128k-row call, round-4 profile), so fewer
+        # calls win outright.
+        buckets, cur, cur_cells = [], [], 0
+        for lvl in gather_lvls:
             h, w = spatial_shapes[lvl]
-            wq = w4[:, lvl] * wgtc[:, lvl].astype(dt)[..., None]
-            w128 = jnp.concatenate(
-                [jnp.broadcast_to(wq[..., k:k + 1], (qc, p, c))
-                 for k in range(4)], axis=-1)     # [qc, P, 4C]
-            upd = (w128 * g128[:, None, :]).reshape(
-                qc * p, 4 * c).astype(jnp.float32)
-            sids = (y0i[:, lvl] * (w + 1) + x0i[:, lvl]).reshape(-1)
+            cells = (h + 1) * (w + 1)
+            if cur and cur_cells + cells > 16384:
+                buckets.append(cur)
+                cur, cur_cells = [], 0
+            cur.append(lvl)
+            cur_cells += cells
+        if cur:
+            buckets.append(cur)
+
+        by_gi = {}
+        for bucket in buckets:
+            bases_b, base = [], 0
+            for lvl in bucket:
+                h, w = spatial_shapes[lvl]
+                bases_b.append(base)
+                base += (h + 1) * (w + 1)
+            wqb = w4[:, bucket] * wgtc[:, bucket].astype(dt)[..., None]
+            w128b = jnp.concatenate(
+                [jnp.broadcast_to(wqb[..., k:k + 1],
+                                  wqb.shape[:-1] + (c,))
+                 for k in range(4)], axis=-1)   # [qc, Lb, P, 4C]
+            updb = (w128b * g128[:, None, None, :]).reshape(
+                -1, 4 * c).astype(jnp.float32)
+            sids = jnp.stack(
+                [bases_b[bi] + y0i[:, lvl] * (spatial_shapes[lvl][1] + 1)
+                 + x0i[:, lvl] for bi, lvl in enumerate(bucket)],
+                axis=1).reshape(-1)             # [qc*Lb*P], updb order
             if use_pallas:
-                part = scatter_add_rows(sids, upd, (h + 1) * (w + 1))
-                new_dvals.append(part if dvals is None
-                                 else dvals[gi] + part)
+                acc = scatter_add_rows(sids, updb, base)
             else:
-                acc = jnp.zeros(((h + 1) * (w + 1), 4 * c),
-                                jnp.float32) if dvals is None \
-                    else dvals[gi]
-                new_dvals.append(acc.at[sids].add(
-                    upd, mode="promise_in_bounds"))
-        return tuple(new_dvals), dloc, dwgt
+                acc = jnp.zeros((base, 4 * c), jnp.float32).at[
+                    sids].add(updb, mode="promise_in_bounds")
+            for bi, lvl in enumerate(bucket):
+                h, w = spatial_shapes[lvl]
+                cells = (h + 1) * (w + 1)
+                gi = gather_lvls.index(lvl)
+                part = jax.lax.slice_in_dim(
+                    acc, bases_b[bi], bases_b[bi] + cells, axis=0)
+                by_gi[gi] = part if dvals is None else dvals[gi] + part
+        new_dvals = tuple(by_gi[gi] for gi in range(len(gather_lvls)))
+        return new_dvals, dloc, dwgt
 
     def step(_, x):
         tab_g = x["tab"]
