@@ -106,7 +106,7 @@ class SwinBlock(nn.Module):
         ws = min(self.window_size, h, w)
         shift = self.shift if ws < min(h, w) else 0
         shortcut = x
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
             mask = jnp.asarray(_shift_attn_mask(h, w, ws, shift))
@@ -119,7 +119,7 @@ class SwinBlock(nn.Module):
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = shortcut + x
-        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(y)
         y = nn.gelu(y)
         y = nn.Dense(self.dim, name="fc2")(y)
@@ -147,7 +147,7 @@ class SwinTransformer(nn.Module):
         # patch embed
         x = nn.Conv(self.embed_dims, (p, p), strides=(p, p),
                     name="patch_embed")(x)
-        x = nn.LayerNorm(name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
         outs = []
         dim = self.embed_dims
         for i, depth in enumerate(self.depths):
@@ -159,14 +159,14 @@ class SwinTransformer(nn.Module):
                               mlp_ratio=self.mlp_ratio,
                               name=f"stage{i}_block{j}")(x, train=train)
             if i in self.out_indices:
-                outs.append(nn.LayerNorm(name=f"out_norm{i}")(x))
+                outs.append(nn.LayerNorm(epsilon=1e-5, name=f"out_norm{i}")(x))
             if i < len(self.depths) - 1:
                 # patch merging
                 b_, h_, w_, c_ = x.shape
                 x = x.reshape(b_, h_ // 2, 2, w_ // 2, 2, c_)
                 x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
                     b_, h_ // 2, w_ // 2, 4 * c_)
-                x = nn.LayerNorm(name=f"merge_norm{i}")(x)
+                x = nn.LayerNorm(epsilon=1e-5, name=f"merge_norm{i}")(x)
                 x = nn.Dense(2 * c_, use_bias=False,
                              name=f"merge_reduce{i}")(x)
                 dim *= 2

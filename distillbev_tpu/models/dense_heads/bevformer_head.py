@@ -114,7 +114,7 @@ class _DETR3DHeadBase(nn.Module):
             for i in range(self.num_reg_fcs):
                 x = nn.Dense(self.embed_dims,
                              name=f"cls_{lvl}_fc{i}")(x)
-                x = nn.LayerNorm(name=f"cls_{lvl}_ln{i}")(x)
+                x = nn.LayerNorm(epsilon=1e-5, name=f"cls_{lvl}_ln{i}")(x)
                 x = nn.relu(x)
             return nn.Dense(self.num_classes,
                             bias_init=nn.initializers.constant(-4.595),

@@ -39,18 +39,18 @@ class DetrDecoderLayer(nn.Module):
             embed_dims=self.embed_dims, num_heads=self.num_heads,
             dropout=self.dropout, name="self_attn")(
             query, query_pos=query_pos, key_pos=query_pos, train=train)
-        query = nn.LayerNorm(name="norm1")(query)
+        query = nn.LayerNorm(epsilon=1e-5, name="norm1")(query)
         query = CustomMSDeformableAttention(
             embed_dims=self.embed_dims, num_heads=self.num_heads,
             num_levels=1, num_points=self.num_points,
             dropout=self.dropout, name="cross_attn")(
             query, value, reference_points, spatial_shapes,
             query_pos=query_pos, train=train)
-        query = nn.LayerNorm(name="norm2")(query)
+        query = nn.LayerNorm(epsilon=1e-5, name="norm2")(query)
         query = FFN(embed_dims=self.embed_dims,
                     feedforward_channels=self.feedforward_channels,
                     dropout=self.dropout, name="ffn")(query, train=train)
-        return nn.LayerNorm(name="norm3")(query)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(query)
 
 
 @TRANSFORMERS.register_module()

@@ -93,7 +93,7 @@ class BEVFormerLayer(nn.Module):
     @nn.compact
     def __call__(self, query, value, prev_bev, ref_2d, ref_cam,
                  bev_mask, bev_pos, spatial_shapes, bev_hw, shift=None,
-                 prev_valid=None, sca_select=None,
+                 prev_valid=None, sca_select=None, init_query=None,
                  train: bool = False):
         bsz, q, c = query.shape
         tsa_value = None
@@ -102,20 +102,32 @@ class BEVFormerLayer(nn.Module):
             # query dtype rules the TSA stack (a fp32 prev_bev would
             # promote the whole encoder under bf16 mixed precision)
             pb = prev_bev.astype(query.dtype)
+            # the reference builds the TSA value stack ONCE per encoder
+            # call as [prev_bev, INITIAL bev_query] and passes the SAME
+            # stack to every layer (reference encoder.py:199-207 +
+            # the layer's self_attn call) — NOT restacked with the
+            # current layer's query (round-4 whole-model golden)
+            q1 = init_query.astype(query.dtype) if init_query is not \
+                None else query
             if prev_valid is not None:
                 # per-sample "no history" -> reference prev_bev=None
-                # semantics (TSA attends to the current query in both
+                # semantics (TSA restacks the CURRENT query in both
                 # queue slots) without a separate trace; the scene-reset
                 # state machine zeroes can_bus deltas, so the prev-slot
                 # ref shift/rotation are no-ops in that case too
                 pb = jnp.where(prev_valid[:, None, None] > 0, pb, query)
-            tsa_value = jnp.stack([pb, query], axis=1).reshape(
+                q1 = jnp.where(prev_valid[:, None, None] > 0, q1, query)
+            tsa_value = jnp.stack([pb, q1], axis=1).reshape(
                 bsz * 2, q, c)
             if shift is not None:
-                # prev-slot refs shifted by ego motion (reference
-                # encoder.forward hybird_ref_2d)
+                # ego-motion shift applied to BOTH queue slots: the
+                # reference's ``shift_ref_2d = ref_2d`` (no .clone())
+                # mutates ref_2d in place, and its own comment keeps
+                # the bug for reproducibility (reference
+                # encoder.py:191-207) — checkpoint parity requires
+                # matching it (round-4 whole-model golden)
                 shifted = ref_2d + shift[:, None, None, :]
-                tsa_ref = jnp.stack([shifted, ref_2d], axis=1).reshape(
+                tsa_ref = jnp.stack([shifted, shifted], axis=1).reshape(
                     (bsz * 2,) + ref_2d.shape[1:])
         query = TemporalSelfAttention(
             embed_dims=self.embed_dims, num_heads=self.num_heads,
@@ -123,7 +135,7 @@ class BEVFormerLayer(nn.Module):
             name="tsa")(query, value=tsa_value, query_pos=bev_pos,
                         reference_points=tsa_ref,
                         spatial_shapes=(bev_hw,), train=train)
-        query = nn.LayerNorm(name="norm1")(query)
+        query = nn.LayerNorm(epsilon=1e-5, name="norm1")(query)
         query = SpatialCrossAttention(
             embed_dims=self.embed_dims, num_cams=self.num_cams,
             dropout=self.dropout,
@@ -134,11 +146,11 @@ class BEVFormerLayer(nn.Module):
             name="sca")(query, value, ref_cam, bev_mask, spatial_shapes,
                         query_pos=None, precomputed_select=sca_select,
                         train=train)
-        query = nn.LayerNorm(name="norm2")(query)
+        query = nn.LayerNorm(epsilon=1e-5, name="norm2")(query)
         query = FFN(embed_dims=self.embed_dims,
                     feedforward_channels=self.feedforward_channels,
                     dropout=self.dropout, name="ffn")(query, train=train)
-        return nn.LayerNorm(name="norm3")(query)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(query)
 
 
 @TRANSFORMERS.register_module()
@@ -219,7 +231,7 @@ class BEVFormerEncoder(nn.Module):
                         bev_mask, bev_pos, spatial_shapes,
                         (bev_h, bev_w), shift=shift,
                         prev_valid=prev_valid, sca_select=sca_select,
-                        train=train)
+                        init_query=bev_query, train=train)
                 return q, (q if self.return_intermediate else ())
             if self.with_cp and train:
                 body = nn.remat(body, prevent_cse=False,
@@ -236,20 +248,22 @@ class BEVFormerEncoder(nn.Module):
         for i in range(self.num_layers):
             layer = BEVFormerLayer(**layer_kwargs, name=f"layer_{i}")
             if self.with_cp and train:
-                def body(mdl, q, v, pb, r2, rc, bm, bp, sh, pv, sel):
+                def body(mdl, q, v, pb, r2, rc, bm, bp, sh, pv, sel,
+                         q0):
                     return mdl(q, v, pb, r2, rc, bm, bp,
                                spatial_shapes, (bev_h, bev_w),
                                shift=sh, prev_valid=pv, sca_select=sel,
-                               train=train)
+                               init_query=q0, train=train)
                 out = nn.remat(body, policy=self._cp_policy())(
                     layer, out, value, prev_bev, ref_2d, ref_cam,
-                    bev_mask, bev_pos, shift, prev_valid, sca_select)
+                    bev_mask, bev_pos, shift, prev_valid, sca_select,
+                    bev_query)
             else:
                 out = layer(out, value, prev_bev, ref_2d, ref_cam,
                             bev_mask, bev_pos, spatial_shapes,
                             (bev_h, bev_w), shift=shift,
                             prev_valid=prev_valid, sca_select=sca_select,
-                            train=train)
+                            init_query=bev_query, train=train)
             if self.return_intermediate:
                 intermediate.append(out)
         if self.return_intermediate:

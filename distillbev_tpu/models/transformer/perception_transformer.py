@@ -117,7 +117,7 @@ class PerceptionTransformer(nn.Module):
             cb = nn.relu(cb)
             cb = nn.Dense(self.embed_dims, name="can_bus_fc2")(cb)
             cb = nn.relu(cb)
-            cb = nn.LayerNorm(name="can_bus_norm")(cb)
+            cb = nn.LayerNorm(epsilon=1e-5, name="can_bus_norm")(cb)
             # can_bus is fp32 signal data; don't let it promote the query
             bev_query = bev_query + cb[:, None, :].astype(bev_query.dtype)
 
@@ -226,12 +226,12 @@ class DeformableDetrTransformerDistill(nn.Module):
                 dropout=self.dropout,
                 name=f"enc_attn_{i}")(bev, feat_flatten, ref, shapes,
                                       query_pos=bev_pos_b, train=train)
-            bev = nn.LayerNorm(name=f"enc_norm1_{i}")(bev)
+            bev = nn.LayerNorm(epsilon=1e-5, name=f"enc_norm1_{i}")(bev)
             bev = FFN(embed_dims=self.embed_dims,
                       feedforward_channels=self.feedforward_channels,
                       dropout=self.dropout,
                       name=f"enc_ffn_{i}")(bev, train=train)
-            bev = nn.LayerNorm(name=f"enc_norm2_{i}")(bev)
+            bev = nn.LayerNorm(epsilon=1e-5, name=f"enc_norm2_{i}")(bev)
         memory = bev
         query_pos, query = jnp.split(object_query_embed, 2, axis=-1)
         query_pos = jnp.broadcast_to(query_pos[None],

@@ -984,8 +984,12 @@ def test_bevformer_encoder_layer_golden(rng):
     with torch.no_grad():
         prev_stack = torch.from_numpy(np.stack(
             [prev_bev, query], axis=1).reshape(bs * 2, q, c))
+        # the reference shifts BOTH queue slots (its in-place
+        # ``shift_ref_2d = ref_2d`` bug, kept for reproducibility —
+        # reference encoder.py:191-207)
+        shifted = ref_2d + shift[:, None, None, :]
         hybrid = torch.from_numpy(np.stack(
-            [ref_2d + shift[:, None, None, :], ref_2d],
+            [shifted, shifted],
             axis=1).reshape(bs * 2, q, 1, 2))
         # torch key/value layout [num_cam, l, bs, c]
         kv = torch.from_numpy(np.transpose(val_cam, (1, 2, 0, 3)))
