@@ -121,7 +121,9 @@ class SwinBlock(nn.Module):
         x = shortcut + x
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(y)
-        y = nn.gelu(y)
+        # exact (erf) GELU: torch nn.GELU default; flax's default
+        # tanh approximation diverges ~2e-4 (swin golden test)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, name="fc2")(y)
         return x + y
 
@@ -161,10 +163,14 @@ class SwinTransformer(nn.Module):
             if i in self.out_indices:
                 outs.append(nn.LayerNorm(epsilon=1e-5, name=f"out_norm{i}")(x))
             if i < len(self.depths) - 1:
-                # patch merging
+                # patch merging; 4C concat order matches the official
+                # [x(0::2,0::2), x(1::2,0::2), x(0::2,1::2),
+                #  x(1::2,1::2)] (reference
+                # swin_transformer_official.py:384-389 — column-offset
+                # major), so reduction weights convert 1:1
                 b_, h_, w_, c_ = x.shape
                 x = x.reshape(b_, h_ // 2, 2, w_ // 2, 2, c_)
-                x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                x = x.transpose(0, 1, 3, 4, 2, 5).reshape(
                     b_, h_ // 2, w_ // 2, 4 * c_)
                 x = nn.LayerNorm(epsilon=1e-5, name=f"merge_norm{i}")(x)
                 x = nn.Dense(2 * c_, use_bias=False,

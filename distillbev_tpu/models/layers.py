@@ -143,7 +143,7 @@ def get_activation(act_cfg: Optional[dict]):
     return {
         "ReLU": nn.relu,
         "LeakyReLU": lambda x: nn.leaky_relu(x, 0.01),
-        "GELU": nn.gelu,
+        "GELU": lambda x: nn.gelu(x, approximate=False),
         "Sigmoid": nn.sigmoid,
         "SiLU": nn.silu,
         "Swish": nn.silu,

@@ -475,6 +475,48 @@ def bevformer_name_map(depth: int = 50,
     return pm, sm
 
 
+def swin_name_map(depths=(2, 2, 6, 2),
+                  out_indices=(0, 1, 2, 3),
+                  torch_prefix: str = "img_backbone.",
+                  flax_prefix: Tuple[str, ...] = ("backbone",)
+                  ) -> Tuple[Dict, Dict]:
+    """Official Swin checkpoint (reference backbones/
+    swin_transformer_official.py:545-737 — the 'official' microsoft
+    layout its load_checkpoint consumes) -> our compact SwinTransformer
+    (models/backbones/swin.py).  LayerNorm weight/bias map onto
+    scale/bias; the patch-embed conv transposes OIHW -> HWIO like every
+    conv; relative_position_bias_table maps verbatim (our
+    _relative_position_index reproduces the official pairwise index)."""
+    pm: Dict = {}
+    sm: Dict = {}
+    t, f = torch_prefix, flax_prefix
+    pm[f"{t}patch_embed.proj.weight"] = f + ("patch_embed", "kernel")
+    pm[f"{t}patch_embed.proj.bias"] = f + ("patch_embed", "bias")
+    _ln_map(pm, f"{t}patch_embed.norm", f + ("patch_norm",))
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            tb = f"{t}layers.{i}.blocks.{j}"
+            fb = f + (f"stage{i}_block{j}",)
+            _ln_map(pm, f"{tb}.norm1", fb + ("norm1",))
+            _ln_map(pm, f"{tb}.norm2", fb + ("norm2",))
+            pm[f"{tb}.attn.relative_position_bias_table"] = fb + (
+                "attn", "relative_position_bias_table")
+            for lin, fl in (("attn.qkv", ("attn", "qkv")),
+                            ("attn.proj", ("attn", "proj")),
+                            ("mlp.fc1", ("fc1",)),
+                            ("mlp.fc2", ("fc2",))):
+                pm[f"{tb}.{lin}.weight"] = fb + fl + ("kernel",)
+                pm[f"{tb}.{lin}.bias"] = fb + fl + ("bias",)
+        if i < len(depths) - 1:
+            _ln_map(pm, f"{t}layers.{i}.downsample.norm",
+                    f + (f"merge_norm{i}",))
+            pm[f"{t}layers.{i}.downsample.reduction.weight"] = f + (
+                f"merge_reduce{i}", "kernel")
+    for i in out_indices:
+        _ln_map(pm, f"{t}norm{i}", f + (f"out_norm{i}",))
+    return pm, sm
+
+
 def split_mha_in_proj(torch_flat: Dict) -> Dict:
     """Split torch nn.MultiheadAttention packed in_proj tensors into
     q/k/v entries so the name map can address them individually."""
@@ -506,6 +548,7 @@ NAME_MAPS = {
     # (reference dynamic_voxel_encoder.py:70-95, mean reduction only)
     "mvpformer": lidarformer_name_map,
     "bevformer": bevformer_name_map,
+    "swin": swin_name_map,
     "torchvision_resnet50": lambda: torchvision_resnet_map(50),
     "torchvision_resnet101": lambda: torchvision_resnet_map(101),
 }
