@@ -215,7 +215,9 @@ class BEVFormerEncoder(nn.Module):
         from .attention import SpatialCrossAttention
         sca_select = SpatialCrossAttention.select(
             ref_cam, bev_mask,
-            int(sca_budget) if sca_budget else
+            # clamp to Q: a full-size recipe's history budget must not
+            # break --cfg-options runs at shrunken BEV grids
+            min(int(sca_budget), bev_query.shape[1]) if sca_budget else
             SpatialCrossAttention.budget(bev_query.shape[1],
                                          self.max_queries_per_cam))
         out = bev_query

@@ -68,7 +68,12 @@ def _lookup(sorted_keys: jnp.ndarray, sorted_pos: jnp.ndarray,
     sorted_keys: [N] ascending (padding = INT_MAX).
     sorted_pos: [N] original index of each sorted key.
     """
-    loc = jnp.searchsorted(sorted_keys, query)
+    # method="sort" (concat + one XLA sort) beats the default binary
+    # scan 5.6x at rulebook shapes on TPU: the scan lowers to log2(N)
+    # dependent gather passes over the whole query array (~280 ms at
+    # [120k table, 2.4M queries] vs ~50 ms — round-4 microbench);
+    # ~870 -> ~150 ms of the LidarFormer teacher forward
+    loc = jnp.searchsorted(sorted_keys, query, method="sort")
     loc = jnp.clip(loc, 0, n - 1)
     hit = (sorted_keys[loc] == query) & (query != jnp.iinfo(jnp.int32).max)
     return jnp.where(hit, sorted_pos[loc], n)
