@@ -216,6 +216,14 @@ def _run_eval_bevformer(model, variables, loader,
 def evaluate_results(dataset, results, jsonfile_prefix=None,
                      logger=None):
     metrics = dataset.evaluate(results, jsonfile_prefix=jsonfile_prefix)
+    if metrics.get("aae_unavailable"):
+        msg = ("WARNING: info pkls carry no GT attributes (gt_attrs) — "
+               "mAAE scored as 0 and NDS is optimistic by up to "
+               "0.1*mean-AAE.  Regenerate pkls with tools/create_data.py "
+               "to make AAE real.")
+        print(msg)
+        if logger is not None:
+            logger.warning(msg)
     if logger is not None:
         for k, v in metrics.items():
             logger.info(f"{k}: {v:.4f}")

@@ -397,8 +397,13 @@ class NuScenesDataset:
             names = list(info["gt_names"])
             vels = np.asarray(info.get(
                 "gt_velocity", np.zeros((len(names), 2)))).reshape(-1, 2)
+            # per-box attribute names when the pkls carry them
+            # (tools/data_converter/nuscenes_converter.py gt_attrs);
+            # None -> evaluator flags aae_unavailable
+            attrs = info.get("gt_attrs")
             entries = []
-            for b, n, v in zip(boxes, names, np.nan_to_num(vels)):
+            for i, (b, n, v) in enumerate(
+                    zip(boxes, names, np.nan_to_num(vels))):
                 if n not in self.CLASSES:
                     continue
                 # info-pkl gt_boxes store gravity-center z already
@@ -409,10 +414,13 @@ class NuScenesDataset:
                     [[c, -s, 0], [s, c, 0], [0, 0, 1]])
                 yaw = float(np.arctan2(rot[1, 0], rot[0, 0]))
                 gvel = tm[:3, :3] @ np.array([v[0], v[1], 0.0])
-                entries.append(dict(
+                entry = dict(
                     translation=center.tolist(),
                     size=[float(b[4]), float(b[3]), float(b[5])],
                     yaw=yaw, velocity=gvel[:2].tolist(),
-                    detection_name=n))
+                    detection_name=n)
+                if attrs is not None:
+                    entry["attribute_name"] = str(attrs[i])
+                entries.append(entry)
             gt[info["token"]] = entries
         return gt

@@ -19,19 +19,34 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 def nuscenes_data_prep(root_path: str, info_prefix: str, version: str,
-                       max_sweeps: int = 10, virtual: bool = False):
+                       max_sweeps: int = 10, virtual: bool = False,
+                       skip_2d: bool = False):
+    """Info pkls + 2-D coco json + GT database
+    (reference: tools/create_data.py:47-88 nuscenes_data_prep)."""
     try:
-        from nuscenes.nuscenes import NuScenes
-        from nuscenes.utils import splits
+        from nuscenes.nuscenes import NuScenes  # noqa: F401
+        from nuscenes.utils import splits  # noqa: F401
     except ImportError:
         raise SystemExit(
             "nuScenes devkit not installed on this host. Run data "
             "preparation on a machine with `pip install nuscenes-devkit`"
             " — the generated pkls are portable.")
-    from tools.data_converter.nuscenes_converter import (
-        create_nuscenes_infos)
-    create_nuscenes_infos(root_path, info_prefix, version=version,
-                          max_sweeps=max_sweeps)
+    from tools.data_converter import nuscenes_converter
+    nuscenes_converter.create_nuscenes_infos(
+        root_path, info_prefix, version=version, max_sweeps=max_sweeps)
+    if version == "v1.0-test":
+        if not skip_2d:
+            nuscenes_converter.export_2d_annotation(
+                root_path,
+                osp.join(root_path, f"{info_prefix}_infos_test.pkl"),
+                version=version)
+        return
+    if not skip_2d:
+        for split in ("train", "val"):
+            nuscenes_converter.export_2d_annotation(
+                root_path,
+                osp.join(root_path, f"{info_prefix}_infos_{split}.pkl"),
+                version=version)
     create_groundtruth_database(root_path, info_prefix, virtual=virtual)
 
 
@@ -90,6 +105,8 @@ def parse_args():
     p.add_argument("--db-only", action="store_true",
                    help="only rebuild the GT database from existing "
                         "info pkls (devkit-free)")
+    p.add_argument("--skip-2d", action="store_true",
+                   help="skip the mono3d 2-D coco-json export")
     return p.parse_args()
 
 
@@ -100,4 +117,5 @@ if __name__ == "__main__":
                                     virtual=args.virtual)
     else:
         nuscenes_data_prep(args.root_path, args.extra_tag, args.version,
-                           args.max_sweeps, args.virtual)
+                           args.max_sweeps, args.virtual,
+                           skip_2d=args.skip_2d)
