@@ -96,7 +96,14 @@ model = dict(
     train_cfg=dict(pts=dict(
         grid_size=[bev_h_, bev_w_, 1],
         voxel_size=[102.4 / bev_h_, 102.4 / bev_w_, 8],
-        point_cloud_range=point_cloud_range, out_size_factor=1)),
+        point_cloud_range=point_cloud_range, out_size_factor=1,
+        assigner=dict(
+            type="HungarianAssigner3D",
+            cls_cost=dict(type="FocalLossCost", weight=2.0),
+            reg_cost=dict(type="BBox3DL1Cost", weight=0.25),
+            # fake cost for DETR-head compatibility, as in the reference
+            iou_cost=dict(type="IoUCost", weight=0.0),
+            pc_range=point_cloud_range))),
     test_cfg=dict(pts=dict()),
 )
 

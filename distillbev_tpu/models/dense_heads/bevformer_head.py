@@ -72,6 +72,77 @@ def sine_positional_encoding_2d(h: int, w: int, num_feats: int,
     return np.concatenate([py, px], axis=-1).reshape(h * w, -1)
 
 
+def make_match_cost_fns(assigner_cfg: Optional[dict]):
+    """Config-driven matching costs (reference
+    core/bbox/assigners/hungarian_assigner_3d.py:43-47 + mmcv
+    FocalLossCost / ClassificationCost / BBox3DL1Cost; config surface
+    configs/.../lidarformer_to_bevformer_nus_1x1conv_r50.py:201-206).
+
+    Returns ``(cls_cost_fn, reg_weight)``; ``cls_cost_fn(logits [Q, C],
+    labels [M]) -> [Q, M]``.  Defaults to the reference recipe's
+    FocalLossCost(weight=2.0) + BBox3DL1Cost(weight=0.25).
+    """
+    cfg = dict(assigner_cfg or {})
+    cls_cfg = dict(cfg.get("cls_cost",
+                           dict(type="FocalLossCost", weight=2.0)))
+    reg_cfg = dict(cfg.get("reg_cost",
+                           dict(type="BBox3DL1Cost", weight=0.25)))
+    iou_cfg = dict(cfg.get("iou_cost", dict(type="IoUCost", weight=0.0)))
+    if float(iou_cfg.get("weight", 0.0)) != 0.0:
+        raise ValueError(
+            "HungarianAssigner3D iou_cost is a fake cost in the "
+            "reference (weight 0.0); non-zero weight unsupported")
+    reg_type = reg_cfg.get("type", "BBox3DL1Cost")
+    if reg_type != "BBox3DL1Cost":
+        raise ValueError(f"unknown reg_cost type {reg_type!r}")
+    reg_weight = float(reg_cfg.get("weight", 0.25))
+
+    cls_type = cls_cfg.get("type", "FocalLossCost")
+    cls_weight = float(cls_cfg.get("weight", 2.0))
+    if cls_type == "FocalLossCost":
+        alpha = float(cls_cfg.get("alpha", 0.25))
+        gamma = float(cls_cfg.get("gamma", 2.0))
+        eps = float(cls_cfg.get("eps", 1e-12))
+
+        def cls_cost_fn(logits, labels):
+            prob = jax.nn.sigmoid(logits)                   # [Q, C]
+            neg = (1 - alpha) * (prob ** gamma) * \
+                (-jnp.log(1 - prob + eps))
+            pos = alpha * ((1 - prob) ** gamma) * \
+                (-jnp.log(prob + eps))
+            return (pos - neg)[:, labels] * cls_weight       # [Q, M]
+    elif cls_type == "ClassificationCost":
+        def cls_cost_fn(logits, labels):
+            score = jax.nn.softmax(logits, axis=-1)
+            return -score[:, labels] * cls_weight
+    else:
+        raise ValueError(f"unknown cls_cost type {cls_type!r}")
+    return cls_cost_fn, reg_weight
+
+
+def hungarian_match_single(cls_scores, bbox_preds, norm_gt, gt_labels,
+                           gt_mask, cls_cost_fn, reg_weight):
+    """On-device Hungarian assignment for one sample.
+
+    Returns assigned gt index per query ([Q] int32, -1 = background).
+    Cost = cls_cost + L1(pred[:8], gt[:8]) * reg_weight over a padded
+    [Q, M] matrix; padded GT columns carry a large constant so they
+    never beat real columns, and matches to padding are dropped.
+    """
+    from optax import assignment
+    q = cls_scores.shape[0]
+    cls_cost = cls_cost_fn(cls_scores, gt_labels)            # [Q, M]
+    reg_cost = jnp.abs(
+        bbox_preds[:, None, :8] - norm_gt[None, :, :8]).sum(-1)
+    cost = cls_cost + reg_cost * reg_weight
+    big = 1e6
+    cost = jnp.where(gt_mask[None, :], cost, big)
+    rows, cols = assignment.hungarian_algorithm(cost)
+    assigned_q = jnp.full((q,), -1, jnp.int32)
+    return assigned_q.at[rows].set(
+        jnp.where(gt_mask[cols], cols, -1))
+
+
 class LearnedPositionalEncoding(nn.Module):
     """Row/col learned embeddings (mmcv LearnedPositionalEncoding)."""
     num_feats: int = 128
@@ -164,6 +235,8 @@ class _DETR3DHeadBase(nn.Module):
         """
         loss_cls_fn = build_loss(dict(self.loss_cls))
         loss_bbox_fn = build_loss(dict(self.loss_bbox))
+        cls_cost_fn, reg_weight = make_match_cost_fns(
+            (dict(self.train_cfg or {})).get("assigner"))
         cw = jnp.asarray(self.code_weights)
         norm_gt = normalize_bbox(gt_boxes)                  # [B, M, 10]
         losses = {}
@@ -172,45 +245,20 @@ class _DETR3DHeadBase(nn.Module):
         for lvl in range(all_cls.shape[0]):
             lc, lb = self._loss_single(
                 all_cls[lvl], all_box[lvl], norm_gt, gt_labels, gt_mask,
-                loss_cls_fn, loss_bbox_fn, cw)
+                loss_cls_fn, loss_bbox_fn, cw, cls_cost_fn, reg_weight)
             suffix = "" if lvl == all_cls.shape[0] - 1 else f".d{lvl}"
             losses[f"loss_cls{suffix}"] = lc
             losses[f"loss_bbox{suffix}"] = lb
         return losses
 
     def _loss_single(self, cls_scores, bbox_preds, norm_gt, gt_labels,
-                     gt_mask, loss_cls_fn, loss_bbox_fn, code_weights):
+                     gt_mask, loss_cls_fn, loss_bbox_fn, code_weights,
+                     cls_cost_fn, reg_weight):
         """One decoder layer's loss with on-device Hungarian matching."""
-        from optax import assignment
-
-        b, q, _ = cls_scores.shape
-        m = norm_gt.shape[1]
-
-        def match_one(cls_s, box_p, gt_n, labels, mask):
-            # cls cost: focal-style -sigmoid prob of the gt class
-            prob = jax.nn.sigmoid(cls_s)                  # [Q, C]
-            alpha, gamma, eps = 0.25, 2.0, 1e-8
-            neg_cost = (1 - alpha) * (prob ** gamma) * \
-                (-jnp.log(1 - prob + eps))
-            pos_cost = alpha * ((1 - prob) ** gamma) * \
-                (-jnp.log(prob + eps))
-            cls_cost = (pos_cost - neg_cost)[:, labels]    # [Q, M]
-            # reg cost: L1 on the first 8 dims (reference BBox3DL1Cost
-            # uses normalized boxes without velocity)
-            reg_cost = jnp.abs(
-                box_p[:, None, :8] - gt_n[None, :, :8]).sum(-1)
-            cost = cls_cost + reg_cost * 0.25
-            big = 1e6
-            cost = jnp.where(mask[None, :], cost, big)
-            rows, cols = assignment.hungarian_algorithm(cost)
-            # rows[i] matched to cols[i]; valid when gt col is real
-            assigned_q = jnp.full((q,), -1, jnp.int32)
-            assigned_q = assigned_q.at[rows].set(
-                jnp.where(mask[cols], cols, -1))
-            return assigned_q                               # [Q]
-
-        assigned = jax.vmap(match_one)(cls_scores, bbox_preds, norm_gt,
-                                       gt_labels, gt_mask)   # [B, Q]
+        assigned = jax.vmap(
+            lambda c, b_, g, l, m: hungarian_match_single(
+                c, b_, g, l, m, cls_cost_fn, reg_weight))(
+            cls_scores, bbox_preds, norm_gt, gt_labels, gt_mask)  # [B, Q]
         pos = assigned >= 0
         num_pos = jnp.maximum(pos.sum(), 1).astype(jnp.float32)
 

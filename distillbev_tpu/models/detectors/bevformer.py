@@ -263,6 +263,36 @@ class BEVFormerDistill(BEVFormer, _DistillBase):
         maps = {}
         if return_maps:
             losses, maps = losses
+        # reference similarity-map query/hs distillation (reference
+        # bevformer_distill.py:364-385, gated at :835-837 by
+        # query_criterion != 'none' on the index-0 feat pair)
+        from ..distill.query_distill import (hs_distill_loss,
+                                             query_distill_loss)
+        qc = p.get("query_criterion", "none")
+        if qc not in (None, "none"):
+            t_hs = jax.lax.stop_gradient(teacher_outs["hs"])
+            t_query = jax.lax.stop_gradient(teacher_outs["query_embed"])
+            losses.update(query_distill_loss(
+                t_feat, t_query, t_hs, s_feat,
+                student_outs["query_embed"], student_outs["hs"],
+                query_criterion=qc,
+                query_loss_weight=p["query_loss_weight"]))
+        # ('hs', 'hs') feat-position pairs dispatch to hs_distill_loss
+        # instead of fgd (reference forward_distill:898-918)
+        s_pos = p.get("student_feat_pos", ["head"])
+        t_pos = p.get("teacher_feat_pos", ["head"])
+        for sp, tp in zip(list(s_pos), list(t_pos)):
+            if sp == "hs" or tp == "hs":
+                assert sp == tp == "hs", (sp, tp)
+                hs_losses = hs_distill_loss(
+                    jax.lax.stop_gradient(teacher_outs["hs"]),
+                    student_outs["hs"],
+                    feat_criterion=p["feat_criterion"],
+                    hs_feat_loss_weights=p["hs_feat_loss_weights"])
+                losses.update({f"{k}_hs_hs": v
+                               for k, v in hs_losses.items()})
+        # repo-only plain L1 variants (non-reference keys, kept under
+        # their own names; shipped configs set them to 0)
         if p.get("hs_weight", 0):
             hs_s = student_outs["hs"][-1]
             hs_t = jax.lax.stop_gradient(teacher_outs["hs"][-1])

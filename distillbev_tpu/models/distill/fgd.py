@@ -85,9 +85,11 @@ class Distiller(nn.Module):
         "foreground_mask", "fp_as_foreground", "fp_epoch",
         "fp_scale_mode", "fp_weight", "fp_weights", "fpfn_weight",
         "fpfn_weights", "gauss_fg_weight", "groundtruth_threshold",
-        "heatmap", "hs_weight", "mode", "multi_scale_epoch",
+        "heatmap", "hs_feat_loss_weights", "hs_weight", "mode",
+        "multi_scale_epoch",
         "non_empty_weight", "nonlocal_weights", "output_threshold",
-        "p", "query_weight", "scale_mask", "spatial_attentions",
+        "p", "query_criterion", "query_loss_weight", "query_weight",
+        "scale_mask", "spatial_attentions",
         "spatial_criterion", "spatial_loss_weights", "spatial_mask",
         "spatial_student_ratio", "spatial_t",
         "student_adaptation_params", "student_channels",

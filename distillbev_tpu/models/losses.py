@@ -69,9 +69,8 @@ class L1Loss:
         if self.reduction == "sum":
             loss = loss.sum()
         elif self.reduction == "mean":
-            loss = loss.sum()
-            loss = loss / (avg_factor if avg_factor is not None
-                           else max(loss.size, 1))
+            loss = loss.sum() / (avg_factor if avg_factor is not None
+                                 else max(loss.size, 1))
         return self.loss_weight * loss
 
 
