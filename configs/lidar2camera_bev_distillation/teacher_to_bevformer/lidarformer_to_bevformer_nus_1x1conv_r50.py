@@ -55,7 +55,13 @@ model = dict(
     # per-camera budget (0.35Q, test_model_bevformer TestSCACoverage)
     # instead of the default 0.4Q margin — identical outputs on every
     # covered geometry, ~12% fewer sampling rows on 3 of 4 encoder
-    # passes per step (docs/PERF.md round 4)
+    # passes per step (docs/PERF.md round 4).
+    # GEOMETRY CAVEAT: 14000 = 0.35 * 200*200 is the measured exact
+    # cover for the nuScenes 6-camera rig at BEV 200x200; with other
+    # camera geometries or --cfg-options grid overrides, re-validate
+    # with TestSCACoverage (cameras whose hit count exceeds the budget
+    # silently drop contributions).  A fraction (e.g. 0.35) is also
+    # accepted and scales with Q automatically.
     history_sca_budget=14000,
     img_backbone=dict(type="ResNet", depth=50, num_stages=4,
                       out_indices=(1, 2, 3), frozen_stages=1,

@@ -313,7 +313,8 @@ def _shrink_grids(t_cfg: dict, s_cfg: dict, factor: int = 4):
 def build_flagship(batch_size: int = 1, tiny: bool = False,
                    seed: int = 0, teacher_bf16: bool = False,
                    img_hw: Optional[Tuple[int, int]] = None,
-                   n_points: Optional[int] = None):
+                   n_points: Optional[int] = None,
+                   shrink_factor: int = 4):
     """Build (student, teacher, variables, teacher_variables, batch).
 
     tiny=True shrinks every budget for CPU dry-runs while keeping the
@@ -332,7 +333,7 @@ def build_flagship(batch_size: int = 1, tiny: bool = False,
         t_cfg = centerpoint_teacher_cfg()
         t_cfg["pts_voxel_layer"]["max_voxels"] = (512, 512)
         s_cfg = bevdepth4d_distill_cfg(18)
-        tiny_vs = _shrink_grids(t_cfg, s_cfg)
+        tiny_vs = _shrink_grids(t_cfg, s_cfg, factor=shrink_factor)
         batch = make_example_batch(batch_size, n_points=2048,
                                    img_hw=(64, 176), seed=seed,
                                    voxel_size=tiny_vs)

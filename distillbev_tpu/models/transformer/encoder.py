@@ -213,13 +213,26 @@ class BEVFormerEncoder(nn.Module):
         # top_k sort + ref gather run ONCE per frame instead of once
         # per layer (attention.py SpatialCrossAttention.select)
         from .attention import SpatialCrossAttention
-        sca_select = SpatialCrossAttention.select(
-            ref_cam, bev_mask,
+        if sca_budget:
+            q_total = bev_query.shape[1]
+            if 0 < float(sca_budget) < 1:
+                # fractional budget = fraction of Q (docs speak of
+                # "0.35Q"); int() alone would truncate 0.35 to k=0 and
+                # silently produce an empty SCA
+                budget = max(int(float(sca_budget) * q_total), 1)
+            else:
+                budget = int(sca_budget)
+                assert budget >= 1, (
+                    f"sca_budget={sca_budget!r} truncates to <1 query; "
+                    "pass an absolute count >=1 or a fraction in (0,1)")
             # clamp to Q: a full-size recipe's history budget must not
             # break --cfg-options runs at shrunken BEV grids
-            min(int(sca_budget), bev_query.shape[1]) if sca_budget else
-            SpatialCrossAttention.budget(bev_query.shape[1],
-                                         self.max_queries_per_cam))
+            budget = min(budget, q_total)
+        else:
+            budget = SpatialCrossAttention.budget(
+                bev_query.shape[1], self.max_queries_per_cam)
+        sca_select = SpatialCrossAttention.select(ref_cam, bev_mask,
+                                                  budget)
         out = bev_query
         layer_kwargs = dict(
             embed_dims=self.embed_dims, num_heads=self.num_heads,

@@ -21,11 +21,14 @@ pixels is ONE MXU matmul ``lhs[(q*K) rows, cells] @ grid[cells, C]``
 with modulation folded into the lhs build — and the backward's dvalue
 is ``lhs^T @ dout``, NO scatter.  Gathers pay random-row HBM latency
 fwd AND a slower scatter-add bwd.  Measured at the flagship depth-net
-shape ([24, 16, 44, 256], K=9, bf16) the two are a WASH (fwd+bwd 4.46
-vs 4.42 ms/call — the DCN's 152k sample rows are too few for HBM
-random-row latency to dominate), so the gate defaults OFF
-(``DISTILLBEV_DCN_DENSE_MAX_CELLS``, default 0 = always gather); the
-path stays for bigger-K/smaller-grid configs and is parity-tested.
+shape ([24, 16, 44, 256], K=9, bf16) the two are a WASH in isolation
+(fwd+bwd 4.46 vs 4.42 ms/call) but the dense path wins ~19 ms/step
+IN-GRAPH (the gather backward lowers to four per-corner scatter-add
+fusions at ~60M rows/s, docs/PERF.md r4 lever 1), so the gate defaults
+ON: ``DISTILLBEV_DCN_DENSE_MAX_CELLS`` default 1024 — cells (h*w of
+the sampled grid) up to that bound take the dense path, larger grids
+gather; a 2^28-element lhs guard caps dense memory.  Set to 0 to force
+the gather path everywhere.  Both paths are parity-tested.
 """
 from __future__ import annotations
 

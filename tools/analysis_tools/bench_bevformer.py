@@ -11,6 +11,16 @@ hand-written attention VJP, scanned history queue) hold at full size
 
 Usage: python tools/analysis_tools/bench_bevformer.py
 Env: BF_ITERS (3), BF_QUEUE (4), BF_IMG ("928x1600"), BF_POINTS (300000)
+
+vs_baseline: the reference publishes no step times for this recipe
+(SURVEY.md §6).  Estimate, same honesty bar as bench.py's CNN number:
+upstream BEVFormer documents ~2 days for 24 epochs of the base model
+on 8 A100s (BEVFormer README), i.e. 24 x 28130 samples / (2 x 86400 s
+x 8 GPU) ~= 0.49 samples/s per GPU at samples_per_gpu=1; the distill
+recipe swaps R101-DCN for R50 (faster) but adds the frozen spconv
+LidarFormer teacher forward (slower), so we take 0.5 samples/s/GPU
+(2.0 s/step at B=1) as the per-device reference estimate and report
+vs_baseline = measured_samples_per_sec / 0.5.
 """
 import os
 import sys
@@ -150,9 +160,16 @@ def main():
         state, metrics = step_fn(state, tvars, batch, jnp.float32(1.0))
     final = float(metrics["total_loss"])
     dt = (time.perf_counter() - t0) / n
+    baseline_samples_per_sec = 0.5   # per-GPU estimate (docstring)
+    import json
     print(f"full-size BEVFormer distill step: {dt * 1e3:.1f} ms "
           f"({1.0 / dt:.2f} samples/s/chip, B=1) total_loss={final:.3f}",
           flush=True)
+    print(json.dumps({
+        "metric": "bevformer_distill_step", "value": round(dt * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round((1.0 / dt) / baseline_samples_per_sec, 3),
+    }), flush=True)
 
     # BF_PROFILE=<dir>: trace one step and print the hlo_stats rollup
     # (same xprof path as profile_step.py)
