@@ -18,6 +18,13 @@ import os
 import sys
 import time
 
+# persistent compile cache: the flagship step is a ~2-10 min compile
+# through the remote tunnel; cache TPU executables across bench runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(
+                          os.path.abspath(__file__)), ".jax_cache-tpu"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+
 
 def main():
     import jax

@@ -14,6 +14,8 @@ at ``backbone_output_ids``.
 """
 from __future__ import annotations
 
+import os
+
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -87,7 +89,14 @@ class ResNet(nn.Module):
     pretrained: Any = None
     base_channels: int = 64
     init_cfg: Any = None
-    stem_s2d: bool = True
+    # stem space-to-depth rewrite — default OFF since round 5: XLA's
+    # native low-C conv path now batches the images into lanes
+    # (layout {1,0,3,4,2:T(4,128)} puts B*N in the lane dim) and beats
+    # the manual rewrite by ~10 ms/step at the flagship shape (the s2d
+    # reshape forced 2x ~1.6 ms relayout copies plus pre-slice copies;
+    # measured 18.72 -> 19.70 samples/s).  DISTILLBEV_STEM_S2D=1
+    # restores the round-1..4 rewrite for A/B benching.
+    stem_s2d: bool = os.environ.get("DISTILLBEV_STEM_S2D", "0") == "1"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:

@@ -108,6 +108,17 @@ class LSSGeometry:
         valid = ((ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) &
                  (iz >= 0) & (iz < int(self.nx[2])))
         p = int(np.prod(geom.shape[1:5]))
+        from ...ops.bev_pool import (bev_pool_batched,
+                                     _scatter_vmem_budget_ok)
+        if _scatter_vmem_budget_ok(ny, nx, c):
+            # per-sample VMEM scatter-add (ops/bev_pool.py
+            # bev_pool_batched): skips the sort + sorted-row gather +
+            # segmented scan of the generic path (~10 -> ~6 ms per
+            # flagship 1M x 64 pool)
+            cell = iy * nx + ix
+            return bev_pool_batched(volume.reshape(b, p, c),
+                                    cell.reshape(b, p),
+                                    valid.reshape(b, p), ny, nx)
         batch_idx = jnp.broadcast_to(
             jnp.arange(b, dtype=jnp.int32).reshape(b, 1, 1, 1, 1),
             geom.shape[:5])

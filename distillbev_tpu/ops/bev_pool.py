@@ -64,6 +64,68 @@ def _bev_pool_fwd_impl(feats, coords, valid, b, h, w):
     return out.reshape(b, h, w, c)
 
 
+# -- batched scatter variant (the LSS splat fast path) -------------------
+
+def _scatter_vmem_budget_ok(h, w, c):
+    # per-sample fp32 accumulator must fit VMEM with headroom for the
+    # double-buffered update blocks
+    return (h * w + 8) * c * 4 <= 10 * 2 ** 20
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def bev_pool_batched(feats: jnp.ndarray,
+                     cell: jnp.ndarray,
+                     valid: jnp.ndarray,
+                     h: int, w: int) -> jnp.ndarray:
+    """Per-sample scatter-add splat (fast path of ``bev_pool``).
+
+    Args:
+        feats: [B, P, C] frustum-point features (any float dtype).
+        cell: [B, P] int32 LOCAL cell ids (y * w + x).
+        valid: [B, P] bool.
+        h, w: static per-sample grid.
+
+    Returns [B, h, w, C] float32.
+
+    vs the generic sort path: the sort + [N, C] sorted-row gather +
+    segmented scan + end-read (~10 ms per flagship 1M x 64 pool) are
+    replaced by ONE Pallas row walk into a VMEM-resident per-sample
+    canvas (ops/pallas_scatter.py scatter_add_rows_batched).  fp32
+    accumulation in deterministic (ascending row) order — the
+    reference's CUDA atomicAdd is fp32 nondeterministic
+    (bev_pool_cuda.cu).
+    """
+    return _bev_pool_batched_impl(feats, cell, valid, h, w)
+
+
+def _bev_pool_batched_impl(feats, cell, valid, h, w):
+    from .pallas_scatter import scatter_add_rows_batched
+    bsz, p, c = feats.shape
+    size = h * w
+    ids = jnp.where(valid, jnp.clip(cell, 0, size - 1), size)
+    out = scatter_add_rows_batched(ids.astype(jnp.int32),
+                                   feats.astype(jnp.float32), size)
+    return out.reshape(bsz, h, w, c)
+
+
+def _bev_pool_batched_fwd(feats, cell, valid, h, w):
+    out = _bev_pool_batched_impl(feats, cell, valid, h, w)
+    return out, (cell, valid, jnp.zeros((0,), feats.dtype))
+
+
+def _bev_pool_batched_bwd(h, w, res, g):
+    cell, valid, dt_token = res
+    size = h * w
+    g_flat = g.astype(dt_token.dtype).reshape(g.shape[0], size, -1)
+    idx = jnp.clip(cell, 0, size - 1)
+    dx = jnp.take_along_axis(g_flat, idx[..., None], axis=1)
+    dx = jnp.where(valid[..., None], dx, jnp.zeros((), dx.dtype))
+    return dx, None, None
+
+
+bev_pool_batched.defvjp(_bev_pool_batched_fwd, _bev_pool_batched_bwd)
+
+
 def _bev_pool_fwd(feats, coords, valid, b, h, w):
     out = _bev_pool_fwd_impl(feats, coords, valid, b, h, w)
     return out, (coords, valid, jnp.zeros((0,), feats.dtype))

@@ -48,6 +48,74 @@ def _kernel(ids_ref, upd_ref, acc_ref, *, chunk, unroll):
     jax.lax.fori_loop(0, chunk // unroll, body, 0)
 
 
+def _kernel_batched(ids_ref, upd_ref, acc_ref, *, chunk, unroll):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def body(j, _):
+        for u in range(unroll):
+            jj = j * unroll + u
+            r = ids_ref[0, jj]
+            acc_ref[0, pl.ds(r, 1), :] = (
+                acc_ref[0, pl.ds(r, 1), :] +
+                upd_ref[0, pl.ds(jj, 1), :])
+        return 0
+
+    jax.lax.fori_loop(0, chunk // unroll, body, 0)
+
+
+def scatter_add_rows_batched(ids: jnp.ndarray, upd: jnp.ndarray,
+                             size: int, *,
+                             interpret: bool | None = None,
+                             unroll: int = 8) -> jnp.ndarray:
+    """Per-sample row scatter-add: ``out[b, ids[b, r]] += upd[b, r]``.
+
+    Args:
+        ids: [B, R] int32 row ids in [0, size); rows pointed past
+            ``size`` (the 8 trash rows) are discarded.
+        upd: [B, R, W] update rows (fp32 — bf16 dynamic-row reads trip
+            this toolchain's Mosaic, see docs/PERF.md r3 pitfalls; cast
+            outside).
+        size: accumulator rows PER SAMPLE.
+
+    Returns [B, size, W] of upd.dtype.  Grid is (B, row-chunks) with
+    the per-sample accumulator pinned in VMEM across its row chunks —
+    the LSS bev_pool caller's per-sample canvas (16k x 64 fp32 = 4 MB)
+    is exactly VMEM-sized, which replaces its sort + [N, C] sorted-row
+    gather + segmented scan + end-read with ONE deterministic row walk.
+    """
+    b, r, w = upd.shape
+    chunk = _CHUNK
+    nc = max(1, -(-r // chunk))
+    pad = nc * chunk - r
+    ids_p = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=size)
+    # SMEM blocks require dim0 == array dim0: flatten the batch into
+    # the chunk axis and index (bb, c) -> chunk bb*nc + c
+    ids_p = ids_p.reshape(1, b * nc * chunk)
+    if pad:
+        upd = jnp.pad(upd, ((0, 0), (0, pad), (0, 0)))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(_kernel_batched, chunk=chunk, unroll=unroll),
+        grid=(b, nc),
+        in_specs=[
+            pl.BlockSpec((1, chunk), lambda bb, c, nc=nc: (0, bb * nc + c),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, chunk, w), lambda bb, c: (bb, c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, size + 8, w), lambda bb, c: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, size + 8, w), upd.dtype),
+        interpret=interpret,
+    )(ids_p, upd)
+    return out[:, :size]
+
+
 def scatter_add_rows(ids: jnp.ndarray, upd: jnp.ndarray, size: int,
                      *, interpret: bool | None = None,
                      unroll: int = 8) -> jnp.ndarray:

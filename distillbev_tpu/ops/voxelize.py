@@ -185,13 +185,13 @@ def _segment_meta_compact(sorted_keys, sorted_coords, max_voxels: int,
     sorted_valid = sorted_keys != sentinel
     prev = jnp.concatenate([sorted_keys[:1] - 1, sorted_keys[:-1]])
     real_start = (sorted_keys != prev) & sorted_valid
-    row = jnp.arange(n, dtype=jnp.int32)
-    _, comp = jax.lax.sort_key_val((~real_start).astype(jnp.int32), row,
-                                   is_stable=True)
     num_segments = jnp.sum(real_start.astype(jnp.int32))
     n_valid = jnp.sum(sorted_valid.astype(jnp.int32))
     m = min(n, max_voxels + 1)
-    cand = comp[:m]
+    # blocked compaction of the start rows (segmented.py
+    # compact_flagged_rows — 2x fewer sort passes than a global sort)
+    from .segmented import compact_flagged_rows
+    cand = compact_flagged_rows(real_start, m)
     v = jnp.arange(m, dtype=jnp.int32)
     in_seg = v < num_segments
     start_rows = jnp.where(in_seg, cand, n)

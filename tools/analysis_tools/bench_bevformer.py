@@ -28,6 +28,13 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
+# persistent compile cache shared with bench.py (slow tunnel compiles)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(
+                          os.path.abspath(__file__)), "..", "..",
+                          ".jax_cache-tpu"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+
 
 def setup():
     """Build the full-size distill step -> (step_fn, state, tvars, batch).
