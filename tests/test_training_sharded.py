@@ -286,32 +286,50 @@ def test_one_vs_eight_device_equality(rng, cpu_devices):
             _, metrics = step_fn(st, tv, bt, jnp.float32(1.0))
         results[n_dev] = {k: float(v) for k, v in metrics.items()}
 
-    # Tolerances are calibrated to fp32 reduction-order noise, which
-    # varies across hosts (observed up to rel 2.4e-4 on grad_norm: an
-    # 8-way tree-reduce vs a single-device linear sum over ~1e6-term
-    # dot products).  A real DDP bug (missing mean, double count, wrong
-    # axis) shows up as a 2x/8x error, so 10x headroom over observed
-    # noise still pins every scaling mistake while never failing on
-    # summation order.
+    # Loss tolerances are calibrated to fp32 reduction-order noise
+    # (observed up to rel 4e-5 across meshes on this host).  A real
+    # DDP bug (missing mean, double count, wrong axis) shows up as a
+    # 2x/8x error on the LOSSES, so 10x+ headroom still pins every
+    # scaling mistake while never failing on summation order.
     for key in ("total_loss", "loss_depth"):
         a, c = results[1][key], results[8][key]
         assert a == pytest.approx(c, rel=1e-3), (key, a, c)
-    a, c = results[1]["grad_norm"], results[8]["grad_norm"]
-    assert a == pytest.approx(c, rel=3e-3), ("grad_norm", a, c)
     # every loss term agrees, not just the total
     for key in results[1]:
+        if key == "grad_norm":
+            continue
         assert results[1][key] == pytest.approx(
             results[8][key], rel=5e-3, abs=1e-6), key
+    # The pre-clip grad_norm is an ILL-CONDITIONED oracle: the student's
+    # DCN offsets sit near bilinear floor() boundaries, so the ~1e-6
+    # activation differences between conv batch layouts (8 x [1,...] vs
+    # one [8,...] on CPU) flip a handful of sampling cells and perturb
+    # the raw gradient vector by ~1% even though every loss agrees to
+    # 4e-5 and the post-clip update norm to 3e-7 (measured round 5 —
+    # per-leaf analysis showed the deviations spread over tiny-norm BN
+    # leaves, no per-leaf scaling).  3e-2 keeps 30x+ headroom below a
+    # 2x/8x averaging bug (=100%/700% error); linear-in-grads bug
+    # sensitivity lives in the SGD multi-step drift test below.
+    a, c = results[1]["grad_norm"], results[8]["grad_norm"]
+    assert a == pytest.approx(c, rel=3e-2), ("grad_norm", a, c)
 
 
 def test_one_vs_eight_device_multi_step_drift(rng, cpu_devices):
     """Multi-step DDP-semantics equivalence (VERDICT r4 Weak #6): the
     single-step equality test's loosened tolerance can hide a bug that
     compounds; step the SAME 5-batch sequence on a 1-device and an
-    8-device mesh and bound the END-STATE divergence — per-step losses,
-    final parameters, and the optimizer step count.  A systematic
-    cross-device averaging error (2x on any term) diverges
-    multiplicatively over 5 AdamW steps and blows these bounds."""
+    8-device mesh and bound the END-STATE divergence — per-step losses
+    and final parameters.
+
+    SGD (not AdamW) on purpose: SGD updates are LINEAR in the gradient,
+    so a systematic cross-device averaging error (2x on any term) moves
+    the trajectories apart at the same scale as the updates themselves
+    (ratio ~1 below), while fp32 reduction-order noise stays small.
+    AdamW's per-parameter sign normalization turns ±eps gradient noise
+    on near-zero-gradient leaves into full ±lr update dither, which
+    random-walks the two end states apart with no bug present at all
+    (measured ratio 0.28 with AdamW vs 0.028 with SGD on this host —
+    the AdamW variant cannot separate noise from a 2x bug)."""
     b, n_steps = 8, 5
     teacher = build_detector(tiny_centerpoint_cfg())
     pts0, mask0, *_ = make_batch(rng, b=1, n=64)
@@ -320,8 +338,9 @@ def test_one_vs_eight_device_multi_step_drift(rng, cpu_devices):
     student = build_detector(distill_cfg())
     svars = student.init(jax.random.PRNGKey(0), make_inputs(rng, b=1),
                          t_bundle, method="init_with_teacher")
-    tx = build_optimizer(dict(type="AdamW", lr=2e-4, weight_decay=0.01),
-                         lambda s: 2e-4, svars["params"],
+    tx = build_optimizer(dict(type="SGD", lr=1e-3, momentum=0.9,
+                              weight_decay=0.0),
+                         lambda s: 1e-3, svars["params"],
                          grad_clip=dict(max_norm=5))
 
     # one fixed batch sequence, shared by both meshes
@@ -350,18 +369,22 @@ def test_one_vs_eight_device_multi_step_drift(rng, cpu_devices):
         final_params[n_dev] = jax.device_get(st.params)
         losses[n_dev] = seq
 
-    # Per-step losses track each other.  fp32 reduction-order noise
-    # compounds through Adam's per-parameter normalization (observed
-    # rel 6.5e-3 by step 2 on this host), so the bound grows with the
-    # step index; a systematic cross-device averaging bug (interacting
-    # with grad clip / BN stats) diverges the trajectory far beyond
-    # these bounds within a couple of steps.
+    # Per-step losses track each other (observed rel 9.5e-4 by step 4
+    # with SGD on this host); the bound grows with the step index.  A
+    # systematic cross-device averaging bug (interacting with grad
+    # clip / BN stats) diverges the trajectory far beyond these bounds
+    # within a couple of steps.
     assert losses[1][0] == pytest.approx(losses[8][0], rel=1e-3)
     for s, (a, c) in enumerate(zip(losses[1], losses[8])):
-        assert a == pytest.approx(c, rel=2e-2 * max(s, 1)), (s, a, c)
+        assert a == pytest.approx(c, rel=1e-2 * max(s, 1)), (s, a, c)
     # End-state parameter drift after 5 updates, measured against the
     # total update magnitude (drift in unchanged weights is meaning-
-    # less): ||p1 - p8|| must stay a small fraction of ||p1 - p_init||.
+    # less): ||p1 - p8||^2 must stay a small fraction of
+    # ||p1 - p_init||^2.  Observed 0.028 with SGD (residual chaos from
+    # the DCN floor() boundaries + the clip's 1/||g|| scale, see the
+    # single-step test); a 2x averaging bug separates the trajectories
+    # at the update scale itself (ratio ~1) — 0.15 splits the two with
+    # ~5x margin on both sides.
     sq_diff = sq_upd = 0.0
     init_leaves = jax.tree_util.tree_leaves(svars["params"])
     for g1, g8, g0 in zip(jax.tree_util.tree_leaves(final_params[1]),
@@ -370,4 +393,4 @@ def test_one_vs_eight_device_multi_step_drift(rng, cpu_devices):
         sq_diff += float(((np.asarray(g1) - np.asarray(g8)) ** 2).sum())
         sq_upd += float(((np.asarray(g1) - np.asarray(g0)) ** 2).sum())
     assert sq_upd > 0
-    assert sq_diff <= 0.25 * sq_upd, (sq_diff, sq_upd)
+    assert sq_diff <= 0.15 * sq_upd, (sq_diff, sq_upd)
