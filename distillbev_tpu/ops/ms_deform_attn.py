@@ -304,22 +304,30 @@ def _attn_chunked(value, spatial_shapes, loc, weight):
             y0i, x0i, w4, _ = _window_coords_multi(lg, hs_g, ws_g, dt)
             ids = _local_ids(y0i, x0i, strides_g, gbases)
             wf = w4 * wg.astype(dt)[..., None]     # [qc, Lg, P, 4]
-            rows = tab_g.at[ids.reshape(-1)].get(
-                mode="promise_in_bounds")
             # LANE-PRESERVING combine: the old
             # ``rows.reshape(qc, -1, c)`` split the 128-lane 4C rows
             # into (4, C) — a physical relayout copy that cost more
             # than the take itself at full size (457 ms/step,
             # reshape.21912 in the round-4 profile).  Instead the
-            # corner weights broadcast ONTO the lanes (reshape of a
-            # broadcast = index arithmetic, fused into the multiply),
-            # the sample axis reduces in 4C-lane space, and only the
-            # tiny [qc, 4C] accumulator pays a lane-crossing fold.
+            # corner weights broadcast ONTO the lanes, the sample axis
+            # reduces in 4C-lane space, and only the tiny [qc, 4C]
+            # accumulator pays a lane-crossing fold.
+            # SAMPLE-MAJOR order (round 5): the take uses 2-D indices
+            # [lp, qc] so (a) the weighted sum reduces the MAJOR axis,
+            # which XLA accumulates without the physical {0,2,1}
+            # relayout of the [qc, lp, 4C] window rows it emitted for
+            # the middle-axis reduce (copy.13155, 119 ms/step, round-5
+            # profile), and (b) no [R, 1] index vector is materialized
+            # in the one-scalar-per-row T(1,128) layout
+            # (reshape.23067-74, ~190 ms/step of the same profile).
             lp = ids.size // qc                    # Lg * P samples/query
+            ids_t = ids.reshape(qc, lp).T          # [lp, qc]
+            rows = tab_g.at[ids_t].get(
+                mode="promise_in_bounds")          # [lp, qc, 4C]
+            wf_t = jnp.moveaxis(wf.reshape(qc, lp, 4), 1, 0)
             w128 = jnp.broadcast_to(
-                wf.reshape(qc, lp, 4, 1), (qc, lp, 4, c)).reshape(
-                qc, lp, 4 * c)
-            acc = jnp.sum(rows.reshape(qc, lp, 4 * c) * w128, axis=1,
+                wf_t[..., None], (lp, qc, 4, c)).reshape(lp, qc, 4 * c)
+            acc = jnp.sum(rows * w128, axis=0,
                           dtype=jnp.float32)       # [qc, 4C]
             out = out + acc.reshape(qc, 4, c).sum(axis=1)
         for pg, lvl in zip(pgs, dense_lvls):
@@ -406,8 +414,12 @@ def _attn_cvjp_bwd(spatial_shapes, res, g):
             locc, hs, ws, dt)
         ids = _local_ids(y0i, x0i, tstrides, tbases)  # [qc, L, P]
         lp = num_levels * p
-        rows = tab_g.at[ids.reshape(-1)].get(
-            mode="promise_in_bounds")                 # [qc*L*P, 4C]
+        # SAMPLE-MAJOR 2-D-index take (see chunk_fn): skips the
+        # [R, 1] T(1,128) index materializations (reshape.22988-94,
+        # ~100 ms/step, round-5 profile)
+        ids_t = ids.reshape(qc, lp).T                 # [lp, qc]
+        rows = tab_g.at[ids_t].get(
+            mode="promise_in_bounds")                 # [lp, qc, 4C]
 
         # dout contracted with each corner: g[..., k] = <dout, v_k>.
         # Lane-preserving (see chunk_fn): gc tiles onto the 4C lanes,
@@ -417,14 +429,15 @@ def _attn_cvjp_bwd(spatial_shapes, res, g):
         # relayouts of the [R, 4C] window rows (reshape.21824 /
         # reshape.22133 in the round-4 profiles).
         g128 = jnp.concatenate([gc.astype(dt)] * 4, axis=-1)  # [qc, 4C]
-        # implicit [qc, 1, 4C] -> [qc, lp, 4C] broadcast fuses into the
+        # implicit [1, qc, 4C] -> [lp, qc, 4C] broadcast fuses into the
         # multiply; a reshape-of-broadcast materialized a 131 MB
         # operand (broadcast_in_dim.5104, round-4 profile)
-        prod = rows.reshape(qc, lp, 4 * c) * g128[:, None, :]
+        prod = rows * g128[None, :, :]
         sel = jnp.repeat(jnp.eye(4, dtype=dt), c, axis=0)     # [4C, 4]
-        gdot = jnp.dot(prod.reshape(-1, 4 * c), sel,
-                       preferred_element_type=jnp.float32
-                       ).reshape(qc, num_levels, p, 4)
+        gdot = jnp.moveaxis(jnp.dot(
+            prod.reshape(-1, 4 * c), sel,
+            preferred_element_type=jnp.float32
+        ).reshape(lp, qc, 4), 0, 1).reshape(qc, num_levels, p, 4)
         dwgt = jnp.sum(w4.astype(jnp.float32) * gdot, axis=-1)
 
         g00, g01 = gdot[..., 0], gdot[..., 1]
