@@ -84,7 +84,14 @@ model = dict(
                          num_points_in_pillar=4, embed_dims=_dim_,
                          num_heads=8, feedforward_channels=_ffn_dim_,
                          num_levels=4, num_cams=6, with_cp=True,
-                         scan_layers=True),
+                         scan_layers=True,
+                         # current-frame SCA at the measured exact-
+                         # cover budget too (same 0.35Q as
+                         # history_sca_budget below, same coverage
+                         # proof and geometry caveat): identical
+                         # outputs, ~12% fewer sampling rows on the
+                         # grad frame's forward AND backward
+                         max_queries_per_cam=14000),
             decoder=dict(num_layers=6, embed_dims=_dim_, num_heads=8,
                          feedforward_channels=_ffn_dim_,
                          return_intermediate=True)),

@@ -60,7 +60,7 @@ import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
-from .pallas_scatter import scatter_add_rows
+from .pallas_scatter import scatter_add_rows, scatter_add_rows_expand
 
 # levels whose zero-bordered grid has at most this many cells take the
 # dense separable-lerp matmul path instead of the per-group take.
@@ -478,19 +478,34 @@ def _attn_cvjp_bwd(spatial_shapes, res, g):
                 bases_b.append(base)
                 base += (h + 1) * (w + 1)
             wqb = w4[:, bucket] * wgtc[:, bucket].astype(dt)[..., None]
-            w128b = jnp.concatenate(
-                [jnp.broadcast_to(wqb[..., k:k + 1],
-                                  wqb.shape[:-1] + (c,))
-                 for k in range(4)], axis=-1)   # [qc, Lb, P, 4C]
-            updb = (w128b * g128[:, None, None, :]).reshape(
-                -1, 4 * c).astype(jnp.float32)
-            sids = jnp.stack(
-                [bases_b[bi] + y0i[:, lvl] * (spatial_shapes[lvl][1] + 1)
-                 + x0i[:, lvl] for bi, lvl in enumerate(bucket)],
-                axis=1).reshape(-1)             # [qc*Lb*P], updb order
             if use_pallas:
-                acc = scatter_add_rows(sids, updb, base)
+                # in-kernel update expansion: the update rows are
+                # rank-1 (corner weights x tiled dout row), so only
+                # the compact factors travel to the kernel — the XLA
+                # formulation materialized [R, 4C] fp32 update rows
+                # plus ~180 ms/step of corner-broadcast writes
+                # (broadcast.61666-69, round-5 profile)
+                w_flat = wqb.astype(jnp.float32).reshape(qc, -1)
+                sids_sq = jnp.concatenate(
+                    [(bases_b[bi] + y0i[:, lvl]
+                      * (spatial_shapes[lvl][1] + 1)
+                      + x0i[:, lvl]).T
+                     for bi, lvl in enumerate(bucket)],
+                    axis=0)                     # [Lb*P, qc] s-major
+                acc = scatter_add_rows_expand(
+                    sids_sq, w_flat, g128.astype(jnp.float32), base)
             else:
+                w128b = jnp.concatenate(
+                    [jnp.broadcast_to(wqb[..., k:k + 1],
+                                      wqb.shape[:-1] + (c,))
+                     for k in range(4)], axis=-1)   # [qc, Lb, P, 4C]
+                updb = (w128b * g128[:, None, None, :]).reshape(
+                    -1, 4 * c).astype(jnp.float32)
+                sids = jnp.stack(
+                    [bases_b[bi]
+                     + y0i[:, lvl] * (spatial_shapes[lvl][1] + 1)
+                     + x0i[:, lvl] for bi, lvl in enumerate(bucket)],
+                    axis=1).reshape(-1)         # [qc*Lb*P], updb order
                 acc = jnp.zeros((base, 4 * c), jnp.float32).at[
                     sids].add(updb, mode="promise_in_bounds")
             for bi, lvl in enumerate(bucket):

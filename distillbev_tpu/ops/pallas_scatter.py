@@ -116,6 +116,107 @@ def scatter_add_rows_batched(ids: jnp.ndarray, upd: jnp.ndarray,
     return out[:, :size]
 
 
+def _kernel_expand(ids_ref, w_ref, g_ref, acc_ref, upd_ref, *,
+                   qch, lbp, unroll):
+    cc = pl.program_id(0)
+
+    @pl.when(cc == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # corner-spread selector: SEL[k, lane] = (lane // C == k) for the
+    # 4 corners over the 4C=128 lanes — built from 2-D iota (free)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
+    corner = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0)
+    sel = (lane // 32 == corner).astype(jnp.float32)
+    g = g_ref[:]                              # [qch, 4C]
+    w = w_ref[:]                              # [qch, lbp*4]
+    # expansion phase: one [qch, 4] @ [4, 128] MXU matmul per sample
+    # slot puts each corner weight on its C-lane block, then the
+    # elementwise product with the per-query g rows writes the update
+    # block in s-major row order (rows s*qch + i)
+    for s in range(lbp):
+        wexp = jax.lax.dot(w[:, 4 * s:4 * s + 4], sel,
+                           preferred_element_type=jnp.float32)
+        upd_ref[s * qch:(s + 1) * qch, :] = wexp * g
+
+    def body(j, _):
+        for u in range(unroll):
+            jj = j * unroll + u
+            r = ids_ref[0, jj]
+            acc_ref[pl.ds(r, 1), :] = (acc_ref[pl.ds(r, 1), :] +
+                                       upd_ref[pl.ds(jj, 1), :])
+        return 0
+
+    jax.lax.fori_loop(0, (lbp * qch) // unroll, body, 0)
+
+
+def scatter_add_rows_expand(ids_sq: jnp.ndarray, w: jnp.ndarray,
+                            g: jnp.ndarray, size: int, *,
+                            interpret: bool | None = None,
+                            unroll: int = 8) -> jnp.ndarray:
+    """Weighted-outer-product row scatter-add with IN-KERNEL update
+    expansion: ``out[ids_sq[s, q]] += concat_k(w[q, 4*s+k] * g[q])``.
+
+    The deformable-attention backward's dvalue updates are rank-1 per
+    sample — (4 corner weights) x (the query's C-wide dout row tiled
+    onto the 4 corner lane blocks).  Materializing them in XLA cost
+    ~340 ms/step of broadcast writes plus a [R, 4C] fp32 HBM round
+    trip (round-5 profile); here the kernel reads the COMPACT factors
+    (w: 16 B/row, g: 512 B/query amortized over lbp samples — ~32x
+    less traffic) and expands each query-chunk's update block in VMEM
+    with one tiny MXU matmul per sample slot before the same
+    deterministic row walk as :func:`scatter_add_rows`.
+
+    Args:
+        ids_sq: [lbp, Q] int32 SAMPLE-MAJOR row ids (>= size = drop).
+        w: [Q, lbp*4] float32 corner weights, lane (s, k) for sample
+            slot s (level-in-bucket major, then point), corner k
+            (y-major 2x2 window order).
+        g: [Q, 4C] float32 per-query dout rows pre-tiled to the 4
+            corner blocks (4C must be 128).
+        size: accumulator rows.
+
+    Returns [size, 4C] float32; deterministic accumulation order.
+    """
+    lbp, q = ids_sq.shape
+    w4c = g.shape[1]
+    assert w.shape == (q, lbp * 4)
+    # rows per grid step ~ _CHUNK, qch a sublane multiple
+    qch = max(8, (_CHUNK // max(lbp, 1)) // 8 * 8)
+    nc = max(1, -(-q // qch))
+    pad = nc * qch - q
+    if pad:
+        w = jnp.pad(w, ((0, pad), (0, 0)))
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+        ids_sq = jnp.pad(ids_sq, ((0, 0), (0, pad)),
+                         constant_values=size)
+    # chunk-blocked s-major flat ids: [nc, lbp, qch] -> [1, R]
+    ids_p = ids_sq.reshape(lbp, nc, qch).transpose(1, 0, 2).reshape(
+        1, nc * lbp * qch)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(_kernel_expand, qch=qch, lbp=lbp,
+                          unroll=unroll),
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((1, lbp * qch), lambda cc: (0, cc),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((qch, lbp * 4), lambda cc: (cc, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qch, w4c), lambda cc: (cc, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((size + 8, w4c), lambda cc: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((size + 8, w4c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((lbp * qch, w4c), jnp.float32)],
+        interpret=interpret,
+    )(ids_p, w, g)
+    return out[:size]
+
+
 def scatter_add_rows(ids: jnp.ndarray, upd: jnp.ndarray, size: int,
                      *, interpret: bool | None = None,
                      unroll: int = 8) -> jnp.ndarray:
