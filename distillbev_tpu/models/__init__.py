@@ -30,3 +30,4 @@ from .dense_heads import bevformer_head  # noqa: F401
 from .detectors import lidarformer  # noqa: F401
 from .detectors import bevformer  # noqa: F401
 from .detectors import mvx_two_stage  # noqa: F401
+from .detectors import single_stage  # noqa: F401

@@ -261,9 +261,14 @@ class CenterHead(nn.Module):
             losses[f"{self.loss_prefix}task{tid}.loss_heatmap"] = loss_cls(
                 hm_pred, hm_tgt, avg_factor=jnp.maximum(num_pos, 1))
 
-            anno_pred = jnp.concatenate(
-                [pred["reg"], pred["height"], pred["dim"], pred["rot"],
-                 pred["vel"]], axis=-1)                    # [B, H, W, 10]
+            # vel head optional (reference centerpoint_head.py:662-676,
+            # code_size 7 heads have no vel branch); targets already
+            # shrink to 8 dims via the empty gt_boxes[..., 7:9] slice
+            parts = [pred["reg"], pred["height"], pred["dim"],
+                     pred["rot"]]
+            if "vel" in pred:
+                parts.append(pred["vel"])
+            anno_pred = jnp.concatenate(parts, axis=-1)    # [B, H, W, 10|8]
             bsz, hh, ww, cc = anno_pred.shape
             flat = anno_pred.reshape(bsz, hh * ww, cc)
             gathered = jnp.take_along_axis(
