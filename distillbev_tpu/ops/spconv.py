@@ -223,8 +223,14 @@ def gather_gemm(feats: jnp.ndarray,
     m, k = gather_idx.shape
     table = jnp.concatenate(
         [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
-    gathered = table[gather_idx.reshape(-1)].reshape(m, k, cin)
-    out = jnp.einsum("mkc,kcd->md", gathered, weights,
+    # k-major 2-D-index take: each of the K slices is a contiguous
+    # [M, Cin] gather (index varies along the major dim, channels stay
+    # whole in lanes).  Measured on v5e vs the flat [M*K] gather at all
+    # four teacher stages: 14.9->7.5, 7.7->4.4, 6.2->4.4, 3.3->2.6 ms
+    # (C=16/32/64/128) — the flat form also materializes [R, 1] index
+    # operands in T(1,128) layout (same pathology as ms_deform_attn r5).
+    gathered = table[gather_idx.T]                  # [K, M, Cin]
+    out = jnp.einsum("kmc,kcd->md", gathered, weights,
                      preferred_element_type=jnp.float32)
     if out_valid is not None:
         out = jnp.where(out_valid[:, None], out, 0.0)
